@@ -1,0 +1,372 @@
+"""TPU-native graph structure.
+
+The reference keeps graphs in a C++ core — mutable ``Graph``
+(reference: src/graph/graph.cc), immutable CSR/COO ``ImmutableGraph``
+(src/graph/immutable_graph.cc) and heterograph building block ``UnitGraph``
+(src/graph/unit_graph.h:39) with lazy COO/CSR/CSC materialisation — reached
+through a ctypes FFI.  None of that machinery survives on TPU: a graph here
+is an immutable **pytree of jax.Arrays** that flows straight through
+``jit`` / ``pjit`` / ``shard_map``.
+
+Design:
+
+* Canonical edge order is **dst-sorted** (CSC order).  Segment reductions
+  over incoming edges — the universal hot path of ``update_all`` — then see
+  sorted segment ids, which XLA lowers efficiently on TPU.  A permutation
+  back to the user's input edge order is kept so ``edata`` keeps DGL's
+  "edge id = insertion order" semantics (the reference does the analogous
+  re-mapping with ``outcsr.data`` edge-id arrays,
+  src/kernel/cpu/binary_reduce_impl.h:160-170).
+* CSC is implicit (edges are stored in CSC order; only ``indptr`` is kept);
+  CSR (out-edges) is an explicit permutation, built eagerly on host at
+  construction — graphs are built host-side with numpy, used device-side.
+* Shapes are static: ``num_src/num_dst/num_edges`` are Python ints.  Padded
+  graphs (static-shape minibatching) carry an ``edge_mask``; masked edges
+  are neutralised inside the segment reducers.
+* Bipartite "blocks" (the output of neighbour sampling,
+  reference: src/graph/transform/to_bipartite.cc) are Graphs with
+  ``is_block=True`` and distinct src/dst node frames.
+
+Feature storage (`ndata`/`edata`, reference: python/dgl/frame.py) is a plain
+dict of arrays riding along in the pytree; ``edata`` values are stored in
+internal (CSC) order and transparently permuted at the get/set boundary.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+IdType = jnp.int32
+
+
+# ---------------------------------------------------------------------------
+# Frame views: thin mutable-mapping shims mirroring python/dgl/view.py
+# ---------------------------------------------------------------------------
+class _FrameView:
+    """dict-like view over a feature frame, with an optional permutation
+    applied on get/set (used for edata user-order <-> internal-order)."""
+
+    __slots__ = ("_frame", "_get_perm", "_set_perm")
+
+    def __init__(self, frame: Dict[str, Array], get_perm=None, set_perm=None):
+        self._frame = frame
+        self._get_perm = get_perm
+        self._set_perm = set_perm
+
+    def __getitem__(self, key: str) -> Array:
+        v = self._frame[key]
+        if self._get_perm is not None:
+            v = v[self._get_perm]
+        return v
+
+    def __setitem__(self, key: str, value) -> None:
+        value = jnp.asarray(value)
+        if self._set_perm is not None:
+            value = value[self._set_perm]
+        self._frame[key] = value
+
+    def __delitem__(self, key: str) -> None:
+        del self._frame[key]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._frame
+
+    def keys(self):
+        return self._frame.keys()
+
+    def __iter__(self):
+        return iter(self._frame)
+
+    def __len__(self):
+        return len(self._frame)
+
+    def pop(self, key: str) -> Array:
+        v = self[key]
+        del self._frame[key]
+        return v
+
+    def update(self, other) -> None:
+        for k in other:
+            self[k] = other[k]
+
+    def internal(self, key: str) -> Array:
+        """Raw (internal-order) array without the view permutation."""
+        return self._frame[key]
+
+
+# ---------------------------------------------------------------------------
+# Graph
+# ---------------------------------------------------------------------------
+@jax.tree_util.register_pytree_node_class
+class Graph:
+    """Immutable (bi)graph over static-shaped index arrays.
+
+    Structure arrays (all ``int32``):
+      src, dst            (E,)  endpoints in internal (dst-sorted) order
+      csc_indptr          (num_dst+1,)  in-edge offsets per dst node
+      csr_indptr          (num_src+1,)  out-edge offsets per src node
+      csr_eids            (E,)  internal edge ids in src-sorted order
+      int2user / user2int (E,)  permutations internal<->user edge order
+                                 (None when input was already dst-sorted)
+      edge_mask           (E,) bool or None — False rows are padding
+    """
+
+    def __init__(self, *, num_src: int, num_dst: int, src: Array, dst: Array,
+                 csc_indptr: Array, csr_indptr: Optional[Array] = None,
+                 csr_eids: Optional[Array] = None,
+                 int2user: Optional[Array] = None,
+                 user2int: Optional[Array] = None,
+                 edge_mask: Optional[Array] = None,
+                 is_block: bool = False,
+                 node_frames: Optional[Tuple[Dict[str, Array], ...]] = None,
+                 edge_frame: Optional[Dict[str, Array]] = None):
+        self._num_src = int(num_src)
+        self._num_dst = int(num_dst)
+        self.src = src
+        self.dst = dst
+        self.csc_indptr = csc_indptr
+        self.csr_indptr = csr_indptr
+        self.csr_eids = csr_eids
+        self.int2user = int2user
+        self.user2int = user2int
+        self.edge_mask = edge_mask
+        self.is_block = bool(is_block)
+        if node_frames is None:
+            node_frames = ({}, {}) if is_block else ({},)
+        self._node_frames = node_frames
+        self._edge_frame = {} if edge_frame is None else edge_frame
+
+    # -- basic properties ---------------------------------------------------
+    @property
+    def num_src_nodes(self) -> int:
+        return self._num_src
+
+    @property
+    def num_dst_nodes(self) -> int:
+        return self._num_dst
+
+    def number_of_nodes(self) -> int:
+        if self.is_block:
+            raise ValueError("block has distinct src/dst node sets; use "
+                             "num_src_nodes/num_dst_nodes")
+        return self._num_dst
+
+    num_nodes = number_of_nodes
+
+    def number_of_edges(self) -> int:
+        return int(self.src.shape[0])
+
+    num_edges = number_of_edges
+
+    @property
+    def num_edges_static(self) -> int:
+        return int(self.src.shape[0])
+
+    # -- frames -------------------------------------------------------------
+    @property
+    def srcdata(self) -> _FrameView:
+        return _FrameView(self._node_frames[0])
+
+    @property
+    def dstdata(self) -> _FrameView:
+        return _FrameView(self._node_frames[-1])
+
+    @property
+    def ndata(self) -> _FrameView:
+        if self.is_block:
+            raise ValueError("block graphs use srcdata/dstdata")
+        return _FrameView(self._node_frames[0])
+
+    @property
+    def edata(self) -> _FrameView:
+        """Edge features in user (insertion) order; stored internally in
+        CSC order."""
+        # stored internal; user_vals = internal_vals[user2int];
+        # internal_vals = user_vals[int2user]
+        return _FrameView(self._edge_frame, get_perm=self.user2int,
+                          set_perm=self.int2user)
+
+    @property
+    def edata_internal(self) -> _FrameView:
+        """Edge features in internal (CSC) order — what kernels consume."""
+        return _FrameView(self._edge_frame)
+
+    # -- structure queries --------------------------------------------------
+    def edges(self, order: str = "eid") -> Tuple[Array, Array]:
+        """(src, dst) arrays. order='eid' returns user insertion order
+        (DGL parity); order='internal' returns dst-sorted order."""
+        if order == "internal" or self.int2user is None:
+            return self.src, self.dst
+        if order == "eid":
+            # user edge u lives at internal position user2int[u]
+            return self.src[self.user2int], self.dst[self.user2int]
+        raise ValueError(order)
+
+    def in_degrees(self) -> Array:
+        d = self.csc_indptr[1:] - self.csc_indptr[:-1]
+        return d.astype(IdType)
+
+    def out_degrees(self) -> Array:
+        if self.csr_indptr is None:
+            raise ValueError("graph was built without the CSR format")
+        d = self.csr_indptr[1:] - self.csr_indptr[:-1]
+        return d.astype(IdType)
+
+    @property
+    def dst_sorted(self) -> bool:
+        return True  # internal order is always CSC
+
+    # -- pytree protocol ----------------------------------------------------
+    _OPT = ("csr_indptr", "csr_eids", "int2user", "user2int", "edge_mask")
+
+    def tree_flatten(self):
+        opt_present = tuple(getattr(self, n) is not None for n in self._OPT)
+        leaves = [self.src, self.dst, self.csc_indptr]
+        leaves += [getattr(self, n) for n, p in zip(self._OPT, opt_present) if p]
+        frame_keys = tuple(tuple(sorted(f.keys())) for f in self._node_frames)
+        for f, keys in zip(self._node_frames, frame_keys):
+            leaves += [f[k] for k in keys]
+        ekeys = tuple(sorted(self._edge_frame.keys()))
+        leaves += [self._edge_frame[k] for k in ekeys]
+        aux = (self._num_src, self._num_dst, self.is_block, opt_present,
+               frame_keys, ekeys)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        num_src, num_dst, is_block, opt_present, frame_keys, ekeys = aux
+        leaves = list(leaves)
+        src, dst, csc_indptr = leaves[:3]
+        i = 3
+        opts = {}
+        for n, p in zip(cls._OPT, opt_present):
+            opts[n] = leaves[i] if p else None
+            i += int(p)
+        node_frames = []
+        for keys in frame_keys:
+            node_frames.append({k: leaves[i + j] for j, k in enumerate(keys)})
+            i += len(keys)
+        edge_frame = {k: leaves[i + j] for j, k in enumerate(ekeys)}
+        return cls(num_src=num_src, num_dst=num_dst, src=src, dst=dst,
+                   csc_indptr=csc_indptr, is_block=is_block,
+                   node_frames=tuple(node_frames), edge_frame=edge_frame,
+                   **opts)
+
+    def replace(self, **kw) -> "Graph":
+        fields = dict(num_src=self._num_src, num_dst=self._num_dst,
+                      src=self.src, dst=self.dst, csc_indptr=self.csc_indptr,
+                      csr_indptr=self.csr_indptr, csr_eids=self.csr_eids,
+                      int2user=self.int2user, user2int=self.user2int,
+                      edge_mask=self.edge_mask, is_block=self.is_block,
+                      node_frames=self._node_frames,
+                      edge_frame=self._edge_frame)
+        fields.update(kw)
+        return Graph(**fields)
+
+    def structure_only(self) -> "Graph":
+        """Copy without feature frames (cheap; arrays are shared)."""
+        return self.replace(node_frames=None, edge_frame=None)
+
+    def __repr__(self):
+        kind = "Block" if self.is_block else "Graph"
+        return (f"{kind}(num_src={self._num_src}, num_dst={self._num_dst}, "
+                f"num_edges={self.src.shape[0]})")
+
+    # Message passing methods are attached by core.message to avoid an
+    # import cycle (see core/message.py).
+
+
+# ---------------------------------------------------------------------------
+# Builders (host-side, numpy)
+# ---------------------------------------------------------------------------
+def _build(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
+           *, is_block: bool, build_csr: bool = True,
+           edge_mask: Optional[np.ndarray] = None) -> Graph:
+    E = src.shape[0]
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    if E and (src.min(initial=0) < 0 or src.max(initial=-1) >= num_src):
+        raise ValueError("src ids out of range")
+    if E and (dst.min(initial=0) < 0 or dst.max(initial=-1) >= num_dst):
+        raise ValueError("dst ids out of range")
+
+    # canonical internal order: stable sort by dst (CSC order)
+    perm = np.argsort(dst, kind="stable").astype(np.int32)
+    already_sorted = bool(np.all(perm == np.arange(E, dtype=np.int32)))
+    s_src, s_dst = src[perm], dst[perm]
+    csc_indptr = np.zeros(num_dst + 1, dtype=np.int32)
+    np.cumsum(np.bincount(s_dst, minlength=num_dst), out=csc_indptr[1:])
+
+    kw: Dict[str, Any] = {}
+    if not already_sorted:
+        inv = np.empty(E, dtype=np.int32)
+        inv[perm] = np.arange(E, dtype=np.int32)
+        kw["int2user"] = jnp.asarray(perm)   # internal i -> user id perm[i]
+        kw["user2int"] = jnp.asarray(inv)    # user u -> internal position
+    if build_csr:
+        csr_perm = np.argsort(s_src, kind="stable").astype(np.int32)
+        csr_indptr = np.zeros(num_src + 1, dtype=np.int32)
+        np.cumsum(np.bincount(s_src, minlength=num_src), out=csr_indptr[1:])
+        kw["csr_indptr"] = jnp.asarray(csr_indptr)
+        kw["csr_eids"] = jnp.asarray(csr_perm)
+    if edge_mask is not None:
+        kw["edge_mask"] = jnp.asarray(edge_mask[perm])
+
+    return Graph(num_src=num_src, num_dst=num_dst,
+                 src=jnp.asarray(s_src), dst=jnp.asarray(s_dst),
+                 csc_indptr=jnp.asarray(csc_indptr), is_block=is_block, **kw)
+
+
+def graph(edges: Tuple[Any, Any], num_nodes: Optional[int] = None,
+          build_csr: bool = True, edge_mask: Optional[Any] = None) -> Graph:
+    """Build a homogeneous graph from an edge list.
+
+    TPU-native replacement of ``dgl.graph`` (reference:
+    python/dgl/convert.py:24) — host-side numpy preprocessing, device
+    arrays out.
+    """
+    src = np.asarray(edges[0])
+    dst = np.asarray(edges[1])
+    if num_nodes is None:
+        num_nodes = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+    if edge_mask is not None:
+        edge_mask = np.asarray(edge_mask, dtype=bool)
+    return _build(src, dst, num_nodes, num_nodes, is_block=False,
+                  build_csr=build_csr, edge_mask=edge_mask)
+
+
+def block(edges: Tuple[Any, Any], num_src: int, num_dst: int,
+          build_csr: bool = True, edge_mask: Optional[Any] = None) -> Graph:
+    """Build a bipartite message-flow block (sampling frontier), the
+    TPU-native analogue of ``dgl.to_block``'s output
+    (reference: src/graph/transform/to_bipartite.cc:31)."""
+    src = np.asarray(edges[0])
+    dst = np.asarray(edges[1])
+    if edge_mask is not None:
+        edge_mask = np.asarray(edge_mask, dtype=bool)
+    return _build(src, dst, int(num_src), int(num_dst), is_block=True,
+                  build_csr=build_csr, edge_mask=edge_mask)
+
+
+def from_scipy(spmat, build_csr: bool = True) -> Graph:
+    """Graph from a scipy sparse matrix (row=src, col=dst), mirroring
+    ``dgl.graph`` on scipy input (reference: python/dgl/convert.py)."""
+    coo = spmat.tocoo()
+    n = max(coo.shape)
+    return _build(coo.row.astype(np.int32), coo.col.astype(np.int32),
+                  n, n, is_block=False, build_csr=build_csr)
+
+
+def reverse(g: Graph) -> Graph:
+    """Edge-reversed graph (reference: GraphOp::Reverse,
+    src/graph/graph_op.cc; python/dgl/transform.py reverse)."""
+    src, dst = np.asarray(g.dst), np.asarray(g.src)
+    em = None if g.edge_mask is None else np.asarray(g.edge_mask)
+    out = _build(src, dst, g.num_dst_nodes, g.num_src_nodes,
+                 is_block=False if not g.is_block else True,
+                 build_csr=True, edge_mask=em)
+    return out

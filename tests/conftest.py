@@ -1,0 +1,19 @@
+"""Test configuration: force CPU backend with 8 virtual devices so
+multi-chip sharding tests run without TPU hardware (mirrors the
+reference's backend-matrix test strategy, tests/scripts/task_unit_test.sh,
+adapted to JAX)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

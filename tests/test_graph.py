@@ -1,0 +1,71 @@
+"""Graph structure tests (counterpart of reference tests/compute/test_graph.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dgl_hack_tpu as dgl
+
+
+def test_build_and_degrees(rng):
+    src = np.array([0, 1, 2, 2, 3], dtype=np.int32)
+    dst = np.array([1, 2, 0, 3, 3], dtype=np.int32)
+    g = dgl.graph((src, dst))
+    assert g.num_nodes() == 4
+    assert g.num_edges() == 5
+    np.testing.assert_array_equal(np.asarray(g.in_degrees()), [1, 1, 1, 2])
+    np.testing.assert_array_equal(np.asarray(g.out_degrees()), [1, 1, 2, 1])
+    # internal order is dst-sorted
+    assert np.all(np.diff(np.asarray(g.dst)) >= 0)
+    # user-order round trip
+    s, d = g.edges(order="eid")
+    np.testing.assert_array_equal(np.asarray(s), src)
+    np.testing.assert_array_equal(np.asarray(d), dst)
+
+
+def test_edata_user_order_roundtrip(rng):
+    src = rng.integers(0, 10, 40).astype(np.int32)
+    dst = rng.integers(0, 10, 40).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=10)
+    w = rng.normal(size=(40, 3)).astype(np.float32)
+    g.edata["w"] = w
+    np.testing.assert_allclose(np.asarray(g.edata["w"]), w, rtol=1e-6)
+    # internal storage is permuted to dst-sorted order
+    internal = np.asarray(g.edata_internal["w"])
+    np.testing.assert_allclose(internal, w[np.asarray(g.int2user)], rtol=1e-6)
+
+
+def test_graph_is_pytree(rng):
+    g, _, _ = __import__("utils").random_graph(rng)
+    g.ndata["h"] = jnp.ones((max(g.num_src_nodes, g.num_dst_nodes), 4))
+    leaves, treedef = jax.tree_util.tree_flatten(g)
+    g2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert g2.num_src_nodes == g.num_src_nodes
+    assert "h" in g2.ndata
+
+    @jax.jit
+    def through(graph):
+        return dgl.gspmm(graph, "copy_lhs", "sum", graph.ndata["h"])
+
+    out = through(g)
+    assert out.shape == (g.num_dst_nodes, 4)
+
+
+def test_block(rng):
+    g = dgl.block(([0, 1, 4], [0, 0, 1]), num_src=5, num_dst=2)
+    assert g.is_block
+    assert g.num_src_nodes == 5
+    assert g.num_dst_nodes == 2
+    with pytest.raises(ValueError):
+        g.num_nodes()
+
+
+def test_reverse(rng):
+    src = rng.integers(0, 8, 20).astype(np.int32)
+    dst = rng.integers(0, 8, 20).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=8)
+    rg = dgl.reverse(g)
+    np.testing.assert_array_equal(
+        np.asarray(rg.in_degrees()), np.asarray(g.out_degrees()))
+    np.testing.assert_array_equal(
+        np.asarray(rg.out_degrees()), np.asarray(g.in_degrees()))

@@ -1,0 +1,133 @@
+"""Exhaustive gspmm/gsddmm correctness vs dense numpy oracle.
+
+Counterpart of the reference's test_all_binary_builtins
+(tests/compute/test_kernel.py:200): every (op x reducer x target x
+broadcast shape) combination, forward and gradients.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dgl_hack_tpu as dgl
+from utils import random_graph, oracle_gspmm, oracle_edge_softmax, oracle_message
+
+OPS = ["add", "sub", "mul", "div", "dot", "copy_lhs", "copy_rhs"]
+REDUCERS = ["sum", "mean", "max", "min", "prod"]
+SHAPES = [((4,), (4,)), ((3, 1), (1, 4)), ((1,), (3,)), ((3, 4), (3, 4))]
+
+
+def _make_data(rng, g, target, shape):
+    n = {"u": g.num_src_nodes, "v": g.num_dst_nodes, "e": g.num_edges()}[target]
+    # keep away from zero for div
+    return (rng.uniform(0.5, 2.0, size=(n,) + shape)).astype(np.float32)
+
+
+@pytest.mark.parametrize("op", OPS)
+@pytest.mark.parametrize("reducer", REDUCERS)
+def test_gspmm_u_e(rng, op, reducer):
+    g, src, dst = random_graph(rng, num_edges=50)
+    n = g.num_nodes()
+    lhs = _make_data(rng, g, "u", (4,))
+    rhs = _make_data(rng, g, "e", (4,))
+    out = dgl.gspmm(g, op, reducer, jnp.asarray(lhs),
+                    jnp.asarray(rhs)[g.int2user] if g.int2user is not None
+                    else jnp.asarray(rhs), "u", "e")
+    ref = oracle_gspmm(src, dst, n, op, reducer, lhs, rhs, "u", "e")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("lhs_t,rhs_t", [("u", "v"), ("v", "e"), ("e", "u")])
+@pytest.mark.parametrize("op", ["add", "mul", "dot"])
+def test_gspmm_targets(rng, op, lhs_t, rhs_t):
+    g, src, dst = random_graph(rng, num_edges=50)
+    n = g.num_nodes()
+    lhs = _make_data(rng, g, lhs_t, (4,))
+    rhs = _make_data(rng, g, rhs_t, (4,))
+
+    def to_internal(x, t):
+        if t == "e" and g.int2user is not None:
+            return jnp.asarray(x)[g.int2user]
+        return jnp.asarray(x)
+
+    out = dgl.gspmm(g, op, "sum", to_internal(lhs, lhs_t),
+                    to_internal(rhs, rhs_t), lhs_t, rhs_t)
+    ref = oracle_gspmm(src, dst, n, op, "sum", lhs, rhs, lhs_t, rhs_t)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("lshape,rshape", SHAPES)
+def test_gspmm_broadcast(rng, lshape, rshape):
+    g, src, dst = random_graph(rng, num_edges=50)
+    n = g.num_nodes()
+    lhs = _make_data(rng, g, "u", lshape)
+    rhs = _make_data(rng, g, "e", rshape)
+    out = dgl.gspmm(g, "mul", "sum", jnp.asarray(lhs),
+                    jnp.asarray(rhs)[g.int2user] if g.int2user is not None
+                    else jnp.asarray(rhs), "u", "e")
+    ref = oracle_gspmm(src, dst, n, "mul", "sum", lhs, rhs, "u", "e")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reducer", ["sum", "mean", "max"])
+def test_gspmm_grad(rng, reducer):
+    g, src, dst = random_graph(rng, num_edges=40)
+    n = g.num_nodes()
+    x = _make_data(rng, g, "u", (3,))
+    w = _make_data(rng, g, "e", (3,))
+    w_int = jnp.asarray(w)[g.int2user] if g.int2user is not None else jnp.asarray(w)
+
+    def loss(x_, w_):
+        return dgl.gspmm(g, "mul", reducer, x_, w_, "u", "e").sum()
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), w_int)
+
+    # numerical gradient check on a few coordinates
+    eps = 1e-3
+    f0 = float(loss(jnp.asarray(x), w_int))
+    for (i, j) in [(0, 0), (2, 1), (5, 2)]:
+        xp = x.copy()
+        xp[i, j] += eps
+        fp = float(loss(jnp.asarray(xp), w_int))
+        np.testing.assert_allclose(np.asarray(gx)[i, j], (fp - f0) / eps,
+                                   rtol=0.15, atol=5e-2)
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "div", "dot"])
+def test_gsddmm_u_v(rng, op):
+    g, src, dst = random_graph(rng, num_edges=50)
+    lhs = _make_data(rng, g, "u", (4,))
+    rhs = _make_data(rng, g, "v", (4,))
+    out = dgl.gsddmm(g, op, jnp.asarray(lhs), jnp.asarray(rhs), "u", "v",
+                     out_order="eid")
+    ref = np.stack([oracle_message(op, lhs[src[i]], rhs[dst[i]])
+                    for i in range(len(src))])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_edge_softmax(rng):
+    g, src, dst = random_graph(rng, num_edges=50)
+    logits = rng.normal(size=(50, 2)).astype(np.float32)
+    out = dgl.edge_softmax(g, jnp.asarray(logits), order="eid")
+    ref = oracle_edge_softmax(dst, g.num_nodes(), logits)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+    # probabilities sum to 1 per dst with in-edges
+    sums = np.zeros((g.num_nodes(), 2))
+    np.add.at(sums, dst, np.asarray(out))
+    for v in range(g.num_nodes()):
+        if (dst == v).any():
+            np.testing.assert_allclose(sums[v], 1.0, rtol=1e-4)
+
+
+def test_edge_mask_padding(rng):
+    """Padded edges must contribute the reducer identity."""
+    src = np.array([0, 1, 2, 0], dtype=np.int32)
+    dst = np.array([1, 1, 0, 2], dtype=np.int32)
+    mask = np.array([True, True, False, True])
+    g = dgl.graph((src, dst), num_nodes=3, edge_mask=mask)
+    x = np.arange(3 * 2, dtype=np.float32).reshape(3, 2) + 1.0
+    for reducer in ["sum", "mean", "max", "min"]:
+        out = dgl.gspmm(g, "copy_lhs", reducer, jnp.asarray(x))
+        ref = oracle_gspmm(src[mask], dst[mask], 3, "copy_lhs", reducer,
+                           x, None)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5)
