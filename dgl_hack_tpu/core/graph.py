@@ -123,7 +123,9 @@ class Graph:
                  edge_mask: Optional[Array] = None,
                  is_block: bool = False,
                  node_frames: Optional[Tuple[Dict[str, Array], ...]] = None,
-                 edge_frame: Optional[Dict[str, Array]] = None):
+                 edge_frame: Optional[Dict[str, Array]] = None,
+                 batch_num_nodes: Optional[Tuple[int, ...]] = None,
+                 batch_num_edges: Optional[Tuple[int, ...]] = None):
         self._num_src = int(num_src)
         self._num_dst = int(num_dst)
         self.src = src
@@ -139,6 +141,8 @@ class Graph:
             node_frames = ({}, {}) if is_block else ({},)
         self._node_frames = node_frames
         self._edge_frame = {} if edge_frame is None else edge_frame
+        self.batch_num_nodes = batch_num_nodes
+        self.batch_num_edges = batch_num_edges
 
     # -- basic properties ---------------------------------------------------
     @property
@@ -233,12 +237,13 @@ class Graph:
         ekeys = tuple(sorted(self._edge_frame.keys()))
         leaves += [self._edge_frame[k] for k in ekeys]
         aux = (self._num_src, self._num_dst, self.is_block, opt_present,
-               frame_keys, ekeys)
+               frame_keys, ekeys, self.batch_num_nodes, self.batch_num_edges)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        num_src, num_dst, is_block, opt_present, frame_keys, ekeys = aux
+        (num_src, num_dst, is_block, opt_present, frame_keys, ekeys,
+         bnn, bne) = aux
         leaves = list(leaves)
         src, dst, csc_indptr = leaves[:3]
         i = 3
@@ -254,7 +259,7 @@ class Graph:
         return cls(num_src=num_src, num_dst=num_dst, src=src, dst=dst,
                    csc_indptr=csc_indptr, is_block=is_block,
                    node_frames=tuple(node_frames), edge_frame=edge_frame,
-                   **opts)
+                   batch_num_nodes=bnn, batch_num_edges=bne, **opts)
 
     def replace(self, **kw) -> "Graph":
         fields = dict(num_src=self._num_src, num_dst=self._num_dst,
@@ -263,7 +268,9 @@ class Graph:
                       int2user=self.int2user, user2int=self.user2int,
                       edge_mask=self.edge_mask, is_block=self.is_block,
                       node_frames=self._node_frames,
-                      edge_frame=self._edge_frame)
+                      edge_frame=self._edge_frame,
+                      batch_num_nodes=self.batch_num_nodes,
+                      batch_num_edges=self.batch_num_edges)
         fields.update(kw)
         return Graph(**fields)
 

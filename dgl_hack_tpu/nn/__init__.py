@@ -1,0 +1,11 @@
+"""NN layer zoo (counterpart of python/dgl/nn/pytorch/)."""
+from .conv import (  # noqa: F401
+    GraphConv, GATConv, SAGEConv, RelGraphConv, GINConv, SGConv, APPNPConv,
+    TAGConv, ChebConv, AGNNConv, EdgeConv, GatedGraphConv, NNConv,
+    DenseGraphConv,
+)
+from .glob import (  # noqa: F401
+    SumPooling, AvgPooling, MaxPooling, SortPooling,
+    GlobalAttentionPooling, Set2Set,
+)
+from ..ops.edge_softmax import edge_softmax  # noqa: F401

@@ -1,0 +1,542 @@
+"""Graph convolution layer zoo (flax.linen), re-derived on gspmm/gsddmm.
+
+TPU-native re-implementations of the reference's PyTorch layers
+(reference: python/dgl/nn/pytorch/conv/).  Math matches the reference
+exactly (norm clamps, aggregation order, residuals) so per-layer
+activations can be checked allclose; the implementation is pure traced JAX
+so each layer lowers to a handful of fused XLA ops — no scheduler/IR, no
+per-(op,reduce) kernel zoo.
+
+Layer-by-layer provenance:
+* GraphConv    — graphconv.py:11 (norm 'both'/'right'/'none', matmul
+                 order switch at graphconv.py:145-160)
+* GATConv      — gatconv.py:13 (u_add_v logits -> leaky_relu ->
+                 edge_softmax -> u_mul_e+sum); the fork's fused CUDA pair
+                 (src/kernel/cuda/binary_reduce_impl.cu:52,87) is the
+                 Pallas fused path in ops/pallas/gat_kernel.py
+* SAGEConv     — sageconv.py:10 (mean/gcn/pool/lstm)
+* RelGraphConv — relgraphconv.py:10 (basis & block-diagonal decomposition)
+* GINConv      — ginconv.py; SGConv — sgconv.py; APPNPConv — appnpconv.py;
+  TAGConv — tagconv.py; ChebConv — chebconv.py; AGNNConv — agnnconv.py;
+  EdgeConv — edgeconv.py; GatedGraphConv — gatedgraphconv.py;
+  NNConv — nnconv.py
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import function as fn
+from ..core.graph import Graph
+from ..ops.edge_softmax import edge_softmax
+from ..ops.sddmm import gsddmm
+from ..ops.spmm import gspmm
+
+Array = jax.Array
+xavier = nn.initializers.glorot_uniform()
+xavier_normal = nn.initializers.glorot_normal()
+
+
+def _split_feat(feat) -> Tuple[Array, Array]:
+    if isinstance(feat, (tuple, list)):
+        return feat[0], feat[1]
+    return feat, feat
+
+
+class GraphConv(nn.Module):
+    """Kipf-Welling GCN layer (reference: graphconv.py:11).
+
+    norm='both' applies D^{-1/2} A D^{-1/2} with clamp(deg, 1)
+    (reference: graphconv.py:130-136,160-170); the matmul is done before
+    aggregation when it shrinks the feature dim (graphconv.py:145-152).
+    """
+    out_feats: int
+    norm: str = "both"
+    weight: bool = True
+    bias: bool = True
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, weight: Optional[Array] = None):
+        feat_src, _ = _split_feat(feat)
+        in_feats = feat_src.shape[-1]
+
+        if self.norm == "both":
+            degs = jnp.maximum(g.out_degrees().astype(feat_src.dtype), 1.0)
+            norm = jax.lax.rsqrt(degs)
+            feat_src = feat_src * norm.reshape(
+                (-1,) + (1,) * (feat_src.ndim - 1))
+
+        if weight is None and self.weight:
+            weight = self.param("weight", xavier, (in_feats, self.out_feats),
+                                feat_src.dtype)
+
+        if in_feats > self.out_feats:
+            if weight is not None:
+                feat_src = feat_src @ weight
+            rst = gspmm(g, "copy_lhs", "sum", feat_src)
+        else:
+            rst = gspmm(g, "copy_lhs", "sum", feat_src)
+            if weight is not None:
+                rst = rst @ weight
+
+        if self.norm != "none":
+            degs = jnp.maximum(g.in_degrees().astype(rst.dtype), 1.0)
+            norm = jax.lax.rsqrt(degs) if self.norm == "both" else 1.0 / degs
+            rst = rst * norm.reshape((-1,) + (1,) * (rst.ndim - 1))
+
+        if self.bias:
+            rst = rst + self.param("bias", nn.initializers.zeros,
+                                   (self.out_feats,), rst.dtype)
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst
+
+
+class GATConv(nn.Module):
+    """Graph attention layer (reference: gatconv.py:13).
+
+    Decomposed attention a^T[Wh_i || Wh_j] = a_l.Wh_i + a_r.Wh_j computed
+    as two dense reductions + u_add_v SDDMM (reference:
+    gatconv.py:139-152), then edge_softmax and u_mul_e+sum gSpMM.
+    Output shape (N, num_heads, out_feats).
+    """
+    out_feats: int
+    num_heads: int
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+    residual: bool = False
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, deterministic: bool = True):
+        feat_src, feat_dst = _split_feat(feat)
+        bipartite = isinstance(feat, (tuple, list))
+        h_src = nn.Dropout(self.feat_drop, deterministic=deterministic)(feat_src)
+        h_dst = nn.Dropout(self.feat_drop, deterministic=deterministic)(feat_dst)
+        H, D = self.num_heads, self.out_feats
+
+        if bipartite:
+            fsrc = nn.Dense(H * D, use_bias=False, kernel_init=xavier_normal,
+                            name="fc_src")(h_src).reshape(-1, H, D)
+            fdst = nn.Dense(H * D, use_bias=False, kernel_init=xavier_normal,
+                            name="fc_dst")(h_dst).reshape(-1, H, D)
+        else:
+            dense = nn.Dense(H * D, use_bias=False, kernel_init=xavier_normal,
+                             name="fc")
+            fsrc = dense(h_src).reshape(-1, H, D)
+            fdst = dense(h_dst).reshape(-1, H, D)
+
+        attn_l = self.param("attn_l", xavier_normal, (1, H, D), fsrc.dtype)
+        attn_r = self.param("attn_r", xavier_normal, (1, H, D), fsrc.dtype)
+        el = (fsrc * attn_l).sum(-1, keepdims=True)   # (N_src, H, 1)
+        er = (fdst * attn_r).sum(-1, keepdims=True)   # (N_dst, H, 1)
+
+        e = gsddmm(g, "add", el, er, "u", "v")        # (E, H, 1) internal
+        e = nn.leaky_relu(e, self.negative_slope)
+        a = edge_softmax(g, e)
+        a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
+        rst = gspmm(g, "mul", "sum", fsrc, a, "u", "e")  # (N_dst, H, D)
+
+        if self.residual:
+            if h_dst.shape[-1] != H * D:
+                res = nn.Dense(H * D, use_bias=False,
+                               kernel_init=xavier_normal,
+                               name="res_fc")(h_dst).reshape(-1, H, D)
+            else:
+                res = h_dst.reshape(h_dst.shape[0], -1, D)
+            rst = rst + res
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE layer (reference: sageconv.py:10).
+
+    aggregator_type in {'mean', 'gcn', 'pool'} ('lstm' is provided via the
+    UDF mailbox path in nn/sage_lstm.py if needed; rarely used at scale).
+    """
+    out_feats: int
+    aggregator_type: str = "mean"
+    feat_drop: float = 0.0
+    use_bias: bool = True
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, deterministic: bool = True):
+        feat_src, feat_dst = _split_feat(feat)
+        drop = nn.Dropout(self.feat_drop, deterministic=deterministic)
+        feat_src = drop(feat_src)
+        feat_dst = drop(feat_dst)
+        h_self = feat_dst
+
+        if self.aggregator_type == "mean":
+            h_neigh = gspmm(g, "copy_lhs", "mean", feat_src)
+        elif self.aggregator_type == "gcn":
+            s = gspmm(g, "copy_lhs", "sum", feat_src)
+            degs = g.in_degrees().astype(feat_dst.dtype)
+            h_neigh = (s + feat_dst) / (degs[:, None] + 1)
+        elif self.aggregator_type == "pool":
+            p = nn.relu(nn.Dense(feat_src.shape[-1], kernel_init=xavier,
+                                 name="fc_pool")(feat_src))
+            h_neigh = gspmm(g, "copy_lhs", "max", p)
+        else:
+            raise KeyError(f"Aggregator type {self.aggregator_type} not "
+                           "recognized.")
+
+        if self.aggregator_type == "gcn":
+            rst = nn.Dense(self.out_feats, use_bias=self.use_bias,
+                           kernel_init=xavier, name="fc_neigh")(h_neigh)
+        else:
+            rst = (nn.Dense(self.out_feats, use_bias=self.use_bias,
+                            kernel_init=xavier, name="fc_self")(h_self)
+                   + nn.Dense(self.out_feats, use_bias=self.use_bias,
+                              kernel_init=xavier, name="fc_neigh")(h_neigh))
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst
+
+
+class RelGraphConv(nn.Module):
+    """Relational GCN layer (reference: relgraphconv.py:10).
+
+    TPU-first formulation of the basis decomposition: instead of gathering
+    a per-edge (in,out) weight and running bmm (the reference's
+    bmm_maybe_select, nn/pytorch/utils.py), project x through all bases on
+    the MXU once — z_b = x @ V_b, shape (N, B, out) — then contract
+    per-edge with the gathered relation coefficients:
+    msg_e = sum_b comp[etype_e, b] * z[src_e, b].  The fork's fused R-GCN
+    CUDA kernels over etype-sorted CSR (src/kernel/cuda/
+    binary_reduce_impl.cu:914) correspond to this projection-first layout.
+    'bdd' (block-diagonal) gathers per-edge blocks, matching
+    relgraphconv.py bdd_message_func.
+    """
+    out_feats: int
+    num_rels: int
+    regularizer: str = "basis"
+    num_bases: Optional[int] = None
+    use_bias: bool = True
+    activation: Optional[Callable] = None
+    self_loop: bool = False
+    dropout: float = 0.0
+    low_mem: bool = False   # loop over relations instead of (N,B,out) tensor
+
+    @nn.compact
+    def __call__(self, g: Graph, x: Array, etypes: Array,
+                 norm: Optional[Array] = None, deterministic: bool = True):
+        """etypes/norm are per-edge in user (eid) order, like the reference;
+        they are permuted to internal order once here."""
+        in_feats = x.shape[-1]
+        B = self.num_bases
+        if B is None or B > self.num_rels or B <= 0:
+            B = self.num_rels
+        if g.int2user is not None:
+            etypes = jnp.asarray(etypes)[g.int2user]
+            if norm is not None:
+                norm = jnp.asarray(norm)[g.int2user]
+
+        if self.regularizer == "basis":
+            weight = self.param("weight", xavier,
+                                (B, in_feats, self.out_feats), x.dtype)
+            if B < self.num_rels:
+                w_comp = self.param("w_comp", xavier, (self.num_rels, B),
+                                    x.dtype)
+            else:
+                w_comp = None
+            # z[n, b, o] = sum_i x[n, i] V[b, i, o]   (MXU)
+            z = jnp.einsum("ni,bio->nbo", x, weight)
+            if w_comp is not None:
+                coef = w_comp[etypes]                    # (E, B)
+                ze = z[g.src]                            # (E, B, out)
+                msg = jnp.einsum("eb,ebo->eo", coef, ze)
+            else:
+                msg = z[g.src, etypes]                   # (E, out)
+        elif self.regularizer == "bdd":
+            if in_feats % B or self.out_feats % B:
+                raise ValueError("Feature size must be a multiplier of "
+                                 f"num_bases ({B}).")
+            si, so = in_feats // B, self.out_feats // B
+            weight = self.param("weight", xavier,
+                                (self.num_rels, B * si * so), x.dtype)
+            w = weight[etypes].reshape(-1, B, si, so)    # (E, B, si, so)
+            node = x[g.src].reshape(-1, B, 1, si)
+            msg = jnp.einsum("ebki,ebio->ebko", node, w).reshape(
+                -1, self.out_feats)
+        else:
+            raise ValueError("Regularizer must be either 'basis' or 'bdd'")
+
+        if norm is not None:
+            msg = msg * norm
+        from ..ops import segment
+        h = segment.segment_reduce("sum", msg, g.dst, g.num_dst_nodes,
+                                   indices_are_sorted=True, mask=g.edge_mask)
+
+        if self.use_bias:
+            h = h + self.param("h_bias", nn.initializers.zeros,
+                               (self.out_feats,), x.dtype)
+        if self.self_loop:
+            loop_w = self.param("loop_weight", xavier,
+                                (in_feats, self.out_feats), x.dtype)
+            h = h + x @ loop_w
+        if self.activation is not None:
+            h = self.activation(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return h
+
+
+class GINConv(nn.Module):
+    """Graph isomorphism network layer (reference: ginconv.py).
+
+    out = apply_func((1 + eps) * x_dst + aggregate(x_src)).
+    """
+    apply_func: Optional[Callable] = None
+    aggregator_type: str = "sum"
+    init_eps: float = 0.0
+    learn_eps: bool = False
+
+    @nn.compact
+    def __call__(self, g: Graph, feat):
+        feat_src, feat_dst = _split_feat(feat)
+        agg = gspmm(g, "copy_lhs", self.aggregator_type, feat_src)
+        if self.learn_eps:
+            eps = self.param("eps", nn.initializers.constant(self.init_eps),
+                             (), feat_src.dtype)
+        else:
+            eps = self.init_eps
+        rst = (1 + eps) * feat_dst + agg
+        if self.apply_func is not None:
+            rst = self.apply_func(rst)
+        return rst
+
+
+class SGConv(nn.Module):
+    """Simplified GCN: (D^-1/2 A D^-1/2)^k X W (reference: sgconv.py)."""
+    out_feats: int
+    k: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, feat):
+        degs = jnp.maximum(g.in_degrees().astype(feat.dtype), 1.0)
+        norm = jax.lax.rsqrt(degs)[:, None]
+        h = feat
+        for _ in range(self.k):
+            h = norm * gspmm(g, "copy_lhs", "sum", h * norm)
+        return nn.Dense(self.out_feats, use_bias=self.use_bias,
+                        kernel_init=xavier, name="fc")(h)
+
+
+class APPNPConv(nn.Module):
+    """Approximate personalized propagation (reference: appnpconv.py):
+    h^{t+1} = (1-alpha) (D^-1/2 A D^-1/2 h^t) + alpha h^0."""
+    k: int
+    alpha: float
+    edge_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, deterministic: bool = True):
+        degs = jnp.maximum(g.in_degrees().astype(feat.dtype), 1.0)
+        norm = jax.lax.rsqrt(degs)[:, None]
+        h0 = feat
+        h = feat
+        for _ in range(self.k):
+            drop = nn.Dropout(self.edge_drop, deterministic=deterministic)
+            w = drop(jnp.ones((g.num_edges_static, 1), feat.dtype))
+            h = norm * gspmm(g, "mul", "sum", h * norm, w, "u", "e")
+            h = (1 - self.alpha) * h + self.alpha * h0
+        return h
+
+
+class TAGConv(nn.Module):
+    """Topology-adaptive GCN (reference: tagconv.py): concat of k-hop
+    normalized propagations through one dense layer."""
+    out_feats: int
+    k: int = 2
+    use_bias: bool = True
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, g: Graph, feat):
+        degs = jnp.maximum(g.in_degrees().astype(feat.dtype), 1.0)
+        norm = jax.lax.rsqrt(degs)[:, None]
+        fstack = [feat]
+        for _ in range(self.k):
+            h = norm * gspmm(g, "copy_lhs", "sum", fstack[-1] * norm)
+            fstack.append(h)
+        rst = nn.Dense(self.out_feats, use_bias=self.use_bias,
+                       kernel_init=xavier, name="lin")(
+            jnp.concatenate(fstack, axis=-1))
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst
+
+
+class ChebConv(nn.Module):
+    """Chebyshev spectral GCN (reference: chebconv.py) with
+    lambda_max = 2 approximation: scaled laplacian L~ = L - I."""
+    out_feats: int
+    k: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, lambda_max: float = 2.0):
+        degs = jnp.maximum(g.in_degrees().astype(feat.dtype), 1.0)
+        norm = jax.lax.rsqrt(degs)[:, None]
+
+        def laplacian(h):  # L~ h = (2/lmax)(I - D^-1/2 A D^-1/2) h - h
+            ah = norm * gspmm(g, "copy_lhs", "sum", h * norm)
+            return (2.0 / lambda_max) * (h - ah) - h
+
+        Xs = [feat]
+        if self.k > 1:
+            Xs.append(laplacian(feat))
+        for _ in range(2, self.k):
+            Xs.append(2 * laplacian(Xs[-1]) - Xs[-2])
+        h = jnp.concatenate(Xs, axis=-1)
+        return nn.Dense(self.out_feats, use_bias=self.use_bias,
+                        kernel_init=xavier, name="fc")(h)
+
+
+class AGNNConv(nn.Module):
+    """Attention-based GNN (reference: agnnconv.py): cosine-similarity
+    attention, learnable temperature beta."""
+    init_beta: float = 1.0
+    learn_beta: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, feat):
+        feat_src, feat_dst = _split_feat(feat)
+        if self.learn_beta:
+            beta = self.param("beta", nn.initializers.constant(self.init_beta),
+                              (), feat_src.dtype)
+        else:
+            beta = self.init_beta
+        nsrc = feat_src / jnp.maximum(
+            jnp.linalg.norm(feat_src, axis=-1, keepdims=True), 1e-12)
+        ndst = feat_dst / jnp.maximum(
+            jnp.linalg.norm(feat_dst, axis=-1, keepdims=True), 1e-12)
+        cos = gsddmm(g, "dot", nsrc, ndst, "u", "v")     # (E, 1)
+        a = edge_softmax(g, beta * cos)
+        return gspmm(g, "mul", "sum", feat_src, a, "u", "e")
+
+
+class EdgeConv(nn.Module):
+    """EdgeConv from DGCNN (reference: edgeconv.py):
+    out_v = max_e theta(x_u - x_v) + phi(x_v)."""
+    out_feats: int
+
+    @nn.compact
+    def __call__(self, g: Graph, feat):
+        feat_src, feat_dst = _split_feat(feat)
+        diff = gsddmm(g, "sub", feat_src, feat_dst, "u", "v")
+        theta = nn.Dense(self.out_feats, kernel_init=xavier,
+                         name="theta")(diff)
+        phi = nn.Dense(self.out_feats, kernel_init=xavier,
+                       name="phi")(feat_dst)
+        phi_e = phi[g.dst]
+        from ..ops import segment
+        return segment.segment_reduce("max", theta + phi_e, g.dst,
+                                      g.num_dst_nodes,
+                                      indices_are_sorted=True,
+                                      mask=g.edge_mask)
+
+
+class GatedGraphConv(nn.Module):
+    """Gated graph conv / GGNN (reference: gatedgraphconv.py): n_steps of
+    per-etype linear message + GRU update."""
+    out_feats: int
+    n_steps: int
+    n_etypes: int = 1
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, etypes: Optional[Array] = None):
+        N, in_feats = feat.shape
+        if in_feats < self.out_feats:
+            feat = jnp.pad(feat, ((0, 0), (0, self.out_feats - in_feats)))
+        weight = self.param("weight", xavier,
+                            (self.n_etypes, self.out_feats, self.out_feats),
+                            feat.dtype)
+        gru = nn.GRUCell(features=self.out_feats, name="gru")
+        if etypes is None:
+            etypes = jnp.zeros((g.num_edges_static,), jnp.int32)
+        elif g.int2user is not None:
+            etypes = jnp.asarray(etypes)[g.int2user]
+        h = feat
+        for _ in range(self.n_steps):
+            zh = jnp.einsum("ni,rio->nro", h, weight)    # (N, R, out)
+            msg = zh[g.src, etypes]                      # (E, out)
+            from ..ops import segment
+            a = segment.segment_reduce("sum", msg, g.dst, g.num_dst_nodes,
+                                       indices_are_sorted=True,
+                                       mask=g.edge_mask)
+            h, _ = gru(h, a)
+        return h
+
+
+class NNConv(nn.Module):
+    """MPNN edge-network conv (reference: nnconv.py): per-edge weight
+    matrix produced by edge_func over edge features."""
+    out_feats: int
+    edge_func: Callable = None
+    aggregator_type: str = "mean"
+    residual: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, efeat: Array):
+        feat_src, feat_dst = _split_feat(feat)
+        in_feats = feat_src.shape[-1]
+        if g.int2user is not None:
+            efeat = jnp.asarray(efeat)[g.int2user]
+        ew = self.edge_func(efeat).reshape(-1, in_feats, self.out_feats)
+        msg = jnp.einsum("ei,eio->eo", feat_src[g.src], ew)
+        from ..ops import segment
+        rst = segment.segment_reduce(self.aggregator_type, msg, g.dst,
+                                     g.num_dst_nodes,
+                                     indices_are_sorted=True,
+                                     mask=g.edge_mask)
+        if self.residual:
+            rst = rst + nn.Dense(self.out_feats, use_bias=False,
+                                 kernel_init=xavier,
+                                 name="res_fc")(feat_dst)
+        if self.use_bias:
+            rst = rst + self.param("bias", nn.initializers.zeros,
+                                   (self.out_feats,), rst.dtype)
+        return rst
+
+
+class DenseGraphConv(nn.Module):
+    """GraphConv on a dense adjacency (reference: densegraphconv.py) —
+    used to sanity-check the sparse path."""
+    out_feats: int
+    norm: str = "both"
+    use_bias: bool = True
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, adj: Array, feat: Array):
+        in_feats = feat.shape[-1]
+        if self.norm == "both":
+            out_degs = jnp.maximum(adj.sum(axis=0), 1.0)
+            feat = feat * jax.lax.rsqrt(out_degs)[:, None]
+        w = self.param("weight", xavier, (in_feats, self.out_feats),
+                       feat.dtype)
+        if in_feats > self.out_feats:
+            rst = adj @ (feat @ w)
+        else:
+            rst = (adj @ feat) @ w
+        if self.norm != "none":
+            in_degs = jnp.maximum(adj.sum(axis=1), 1.0)
+            norm = jax.lax.rsqrt(in_degs) if self.norm == "both" else 1.0 / in_degs
+            rst = rst * norm[:, None]
+        if self.use_bias:
+            rst = rst + self.param("bias", nn.initializers.zeros,
+                                   (self.out_feats,), rst.dtype)
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst

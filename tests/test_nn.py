@@ -1,0 +1,151 @@
+"""NN layer tests (counterpart of reference tests/pytorch/test_nn.py):
+shape checks, gradient flow, and dense-adjacency oracles for
+GraphConv/GATConv."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dgl_hack_tpu as dgl
+import dgl_hack_tpu.nn as gnn
+from utils import random_graph
+
+
+def _adj(src, dst, n):
+    a = np.zeros((n, n), np.float32)
+    for s, d in zip(src, dst):
+        a[d, s] += 1.0   # A[v,u] = multiplicity of edge u->v
+    return a
+
+
+def test_graphconv_matches_dense(rng):
+    g, src, dst = random_graph(rng, num_edges=50)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    layer = gnn.GraphConv(out_feats=7, norm="both")
+    params = layer.init(jax.random.PRNGKey(0), g, jnp.asarray(x))
+    out = layer.apply(params, g, jnp.asarray(x))
+
+    A = _adj(src, dst, n)
+    deg_out = np.maximum(A.sum(0), 1.0)
+    deg_in = np.maximum(A.sum(1), 1.0)
+    W = np.asarray(params["params"]["weight"])
+    b = np.asarray(params["params"]["bias"])
+    ref = (A @ (x * deg_out[:, None] ** -0.5)) @ W * deg_in[:, None] ** -0.5 + b
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_graphconv_norm_right(rng):
+    g, src, dst = random_graph(rng, num_edges=50)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    layer = gnn.GraphConv(out_feats=3, norm="right")
+    params = layer.init(jax.random.PRNGKey(0), g, jnp.asarray(x))
+    out = layer.apply(params, g, jnp.asarray(x))
+    A = _adj(src, dst, n)
+    deg_in = np.maximum(A.sum(1), 1.0)
+    W = np.asarray(params["params"]["weight"])
+    ref = (A @ x) @ W / deg_in[:, None] + np.asarray(params["params"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gatconv_dense_oracle(rng):
+    g, src, dst = random_graph(rng, num_edges=40)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    layer = gnn.GATConv(out_feats=4, num_heads=2)
+    params = layer.init(jax.random.PRNGKey(1), g, jnp.asarray(x))
+    out = layer.apply(params, g, jnp.asarray(x))
+    assert out.shape == (n, 2, 4)
+
+    W = np.asarray(params["params"]["fc"]["kernel"])      # (6, 8)
+    al = np.asarray(params["params"]["attn_l"]).reshape(2, 4)
+    ar = np.asarray(params["params"]["attn_r"]).reshape(2, 4)
+    f = (x @ W).reshape(n, 2, 4)
+    el = (f * al).sum(-1)
+    er = (f * ar).sum(-1)
+    ref = np.zeros((n, 2, 4), np.float32)
+    for h in range(2):
+        for v in range(n):
+            eids = np.where(dst == v)[0]
+            if len(eids) == 0:
+                continue
+            logits = el[src[eids], h] + er[v, h]
+            logits = np.where(logits > 0, logits, 0.2 * logits)  # leaky relu
+            w = np.exp(logits - logits.max())
+            w /= w.sum()
+            ref[v, h] = (w[:, None] * f[src[eids], h]).sum(0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["mean", "gcn", "pool"])
+def test_sageconv_shapes_and_grad(rng, agg):
+    g, src, dst = random_graph(rng, num_edges=50)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    layer = gnn.SAGEConv(out_feats=4, aggregator_type=agg)
+    params = layer.init(jax.random.PRNGKey(0), g, jnp.asarray(x))
+    out = layer.apply(params, g, jnp.asarray(x))
+    assert out.shape == (n, 4)
+
+    grads = jax.grad(lambda p: layer.apply(p, g, jnp.asarray(x)).sum())(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+
+
+@pytest.mark.parametrize("reg,nb", [("basis", None), ("basis", 2), ("bdd", 2)])
+def test_relgraphconv(rng, reg, nb):
+    g, src, dst = random_graph(rng, num_edges=50)
+    n = g.num_nodes()
+    R = 4
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    etypes = rng.integers(0, R, size=50).astype(np.int32)
+    layer = gnn.RelGraphConv(out_feats=6, num_rels=R, regularizer=reg,
+                             num_bases=nb, self_loop=True)
+    params = layer.init(jax.random.PRNGKey(0), g, jnp.asarray(x),
+                        jnp.asarray(etypes))
+    out = layer.apply(params, g, jnp.asarray(x), jnp.asarray(etypes))
+    assert out.shape == (n, 6)
+
+    if reg == "basis" and nb is None:
+        # oracle: per-relation weight gather
+        W = np.asarray(params["params"]["weight"])  # (R, in, out)
+        ref = np.zeros((n, 6), np.float32)
+        for i in range(50):
+            ref[dst[i]] += x[src[i]] @ W[etypes[i]]
+        ref += np.asarray(params["params"]["h_bias"])
+        ref += x @ np.asarray(params["params"]["loop_weight"])
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (gnn.GINConv, dict(aggregator_type="sum")),
+    (gnn.SGConv, dict(out_feats=4, k=2)),
+    (gnn.APPNPConv, dict(k=3, alpha=0.1)),
+    (gnn.TAGConv, dict(out_feats=4, k=2)),
+    (gnn.ChebConv, dict(out_feats=4, k=3)),
+    (gnn.AGNNConv, dict()),
+    (gnn.EdgeConv, dict(out_feats=4)),
+    (gnn.GatedGraphConv, dict(out_feats=8, n_steps=2)),
+])
+def test_layer_smoke(rng, cls, kw):
+    g, src, dst = random_graph(rng, num_edges=50)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    layer = cls(**kw)
+    params = layer.init(jax.random.PRNGKey(0), g, jnp.asarray(x))
+    out = layer.apply(params, g, jnp.asarray(x))
+    assert out.shape[0] == n
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gatconv_bipartite(rng):
+    g, src, dst = random_graph(rng, num_src=12, num_dst=6, num_edges=30,
+                               bipartite=True)
+    xs = rng.normal(size=(12, 5)).astype(np.float32)
+    xd = rng.normal(size=(6, 5)).astype(np.float32)
+    layer = gnn.GATConv(out_feats=4, num_heads=3)
+    params = layer.init(jax.random.PRNGKey(0), g,
+                        (jnp.asarray(xs), jnp.asarray(xd)))
+    out = layer.apply(params, g, (jnp.asarray(xs), jnp.asarray(xd)))
+    assert out.shape == (6, 3, 4)
