@@ -1,0 +1,74 @@
+"""Headline benchmark: gSpMM aggregate throughput (edges/s/chip).
+
+Per BASELINE.json, the primary perf metric is edges/s/chip on the SpMM
+aggregate vs the HBM roofline (the op is bandwidth-bound: per edge we read
+one F-dim source-feature row + 8B of indices and amortise the output
+write).  vs_baseline = achieved / roofline edges/s for this chip.
+
+Timing methodology: the axon tunnel makes per-call wall timing unreliable
+(async dispatch + large readback latency), so we time a jitted
+lax.fori_loop of K chained iterations ending in a scalar readback, for two
+values of K, and take the difference — compile time, dispatch overhead and
+readback latency cancel.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import functools
+import json
+import time
+
+import numpy as np
+
+# HBM bandwidth (bytes/s) by TPU generation; v5e (v5 lite) ~= 819 GB/s
+HBM_BW = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9,
+          "v6e": 1640e9, "v6": 1640e9}
+
+N, AVG_DEG, F = 1_000_000, 16.0, 128
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.data import random_power_law_graph
+
+    g = random_power_law_graph(N, avg_degree=AVG_DEG, alpha=2.1, seed=0)
+    E = g.num_edges()
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(N, F)).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def loop(graph, feat, iters):
+        def body(i, h):
+            return dgl.gspmm(graph, "copy_lhs", "sum", h) * 1e-3
+        return jax.lax.fori_loop(0, iters, body, feat)[0, 0]
+
+    def timed(k):
+        float(loop(g, x, k))          # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(g, x, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k_lo, k_hi = 2, 12
+    dt = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+
+    edges_per_s = E / dt
+    bytes_per_iter = E * (F * 4 + 8) + 2 * N * F * 4
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "v5e").lower()
+    bw = next((v for k, v in HBM_BW.items() if k in kind), 819e9)
+    roofline_edges_per_s = bw / (bytes_per_iter / E)
+
+    print(json.dumps({
+        "metric": "spmm_copy_u_sum_edges_per_s_per_chip",
+        "value": round(edges_per_s),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / roofline_edges_per_s, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

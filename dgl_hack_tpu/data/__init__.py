@@ -1,0 +1,11 @@
+"""Datasets (counterpart of python/dgl/data/)."""
+from .citation import (  # noqa: F401
+    CoraGraphDataset, CiteseerGraphDataset, PubmedGraphDataset,
+    RedditDataset,
+)
+from .io import save_graphs, load_graphs  # noqa: F401
+from .karate import KarateClubDataset  # noqa: F401
+from .synthetic import (  # noqa: F401
+    NodeClassificationDataset, planted_partition, synthetic_cora,
+    synthetic_reddit, random_power_law_graph,
+)

@@ -1,0 +1,76 @@
+"""End-to-end model training tests — the v0 milestone: 2-layer GCN on a
+Cora-scale graph reaching DGL-range accuracy (reference target: ~0.81 on
+real Cora, README.md:107; on the synthetic homophily stand-in the same
+architecture should clear 0.80 easily)."""
+import numpy as np
+import jax
+import pytest
+
+import dgl_hack_tpu as dgl
+from dgl_hack_tpu.data import planted_partition
+from dgl_hack_tpu.models import GCN, GAT, GraphSAGE, RGCN
+from dgl_hack_tpu.models.training import train_node_classifier
+
+
+@pytest.fixture(scope="module")
+def small_ds():
+    return planted_partition(600, 5, 64, avg_degree=6.0, homophily=0.85,
+                             feat_noise=3.0, seed=1, train_per_class=20,
+                             num_val=100, num_test=200)
+
+
+def test_gcn_end_to_end(small_ds):
+    ds = small_ds
+    model = GCN(hidden_feats=32, out_feats=ds.num_classes, dropout=0.3)
+    res = train_node_classifier(model, ds.graph, ds.features, ds.labels,
+                                ds.train_mask, ds.val_mask, ds.test_mask,
+                                num_epochs=120, lr=1e-2)
+    assert res["test_acc"] > 0.80, res
+
+
+def test_gat_end_to_end(small_ds):
+    ds = small_ds
+    model = GAT(hidden_feats=8, out_feats=ds.num_classes, heads=(4, 1),
+                feat_drop=0.3, attn_drop=0.3)
+    res = train_node_classifier(model, ds.graph, ds.features, ds.labels,
+                                ds.train_mask, ds.val_mask, ds.test_mask,
+                                num_epochs=150, lr=1e-2)
+    assert res["test_acc"] > 0.75, res
+
+
+def test_sage_end_to_end(small_ds):
+    ds = small_ds
+    model = GraphSAGE(hidden_feats=32, out_feats=ds.num_classes,
+                      aggregator_type="mean", dropout=0.3)
+    res = train_node_classifier(model, ds.graph, ds.features, ds.labels,
+                                ds.train_mask, ds.val_mask, ds.test_mask,
+                                num_epochs=120, lr=1e-2)
+    assert res["test_acc"] > 0.80, res
+
+
+def test_rgcn_end_to_end(rng):
+    """R-GCN on a small typed graph (reference:
+    examples/pytorch/rgcn/entity_classify.py on AIFB)."""
+    from dgl_hack_tpu.core.graph import _build
+    n, R = 200, 3
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    # relation r connects class c -> class (c+r) mod 4 — learnable pattern
+    E = 2000
+    src = rng.integers(0, n, E).astype(np.int32)
+    et = rng.integers(0, R, E).astype(np.int32)
+    want = (labels[src] + et + 1) % 4
+    # pick dst with the wanted class
+    by_class = [np.where(labels == c)[0] for c in range(4)]
+    dst = np.array([by_class[w][rng.integers(0, len(by_class[w]))]
+                    for w in want], dtype=np.int32)
+    g = _build(src, dst, n, n, is_block=False)
+    import jax.numpy as jnp
+    model = RGCN(num_nodes=n, hidden_feats=16, out_feats=4, num_rels=R,
+                 num_bases=-1)
+    train_mask = np.zeros(n, bool)
+    train_mask[:120] = True
+    test_mask = ~train_mask
+    res = train_node_classifier(
+        model, g, None, labels, train_mask, test_mask, test_mask,
+        num_epochs=150, lr=1e-2, model_args=(jnp.asarray(et),))
+    assert res["test_acc"] > 0.6, res
