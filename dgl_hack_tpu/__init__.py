@@ -16,6 +16,7 @@ from .ops.spmm import gspmm  # noqa: F401
 from .ops.sddmm import gsddmm  # noqa: F401
 from .ops.edge_softmax import edge_softmax  # noqa: F401
 from .ops import segment  # noqa: F401
+from .ops.pallas.spmm_kernel import prepare_spmm  # noqa: F401
 
 fn = function  # DGL-style alias: dgl.function
 
@@ -24,4 +25,5 @@ __all__ = [
     "Graph", "graph", "block", "from_scipy", "reverse",
     "update_all", "apply_edges", "apply_nodes", "send_and_recv", "pull",
     "push", "gspmm", "gsddmm", "edge_softmax", "segment", "function", "fn",
+    "prepare_spmm",
 ]

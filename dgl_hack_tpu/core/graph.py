@@ -125,7 +125,9 @@ class Graph:
                  node_frames: Optional[Tuple[Dict[str, Array], ...]] = None,
                  edge_frame: Optional[Dict[str, Array]] = None,
                  batch_num_nodes: Optional[Tuple[int, ...]] = None,
-                 batch_num_edges: Optional[Tuple[int, ...]] = None):
+                 batch_num_edges: Optional[Tuple[int, ...]] = None,
+                 spmm_plan_arrays: Optional[Tuple[Array, ...]] = None,
+                 spmm_plan_meta: Optional[Tuple] = None):
         self._num_src = int(num_src)
         self._num_dst = int(num_dst)
         self.src = src
@@ -143,6 +145,10 @@ class Graph:
         self._edge_frame = {} if edge_frame is None else edge_frame
         self.batch_num_nodes = batch_num_nodes
         self.batch_num_edges = batch_num_edges
+        # Pallas gspmm block plan (see ops/pallas/spmm_kernel.py):
+        # arrays ride the pytree; meta is static aux
+        self.spmm_plan_arrays = spmm_plan_arrays
+        self.spmm_plan_meta = spmm_plan_meta
 
     # -- basic properties ---------------------------------------------------
     @property
@@ -236,14 +242,19 @@ class Graph:
             leaves += [f[k] for k in keys]
         ekeys = tuple(sorted(self._edge_frame.keys()))
         leaves += [self._edge_frame[k] for k in ekeys]
+        n_plan = 0 if self.spmm_plan_arrays is None \
+            else len(self.spmm_plan_arrays)
+        if n_plan:
+            leaves += list(self.spmm_plan_arrays)
         aux = (self._num_src, self._num_dst, self.is_block, opt_present,
-               frame_keys, ekeys, self.batch_num_nodes, self.batch_num_edges)
+               frame_keys, ekeys, self.batch_num_nodes, self.batch_num_edges,
+               n_plan, self.spmm_plan_meta)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         (num_src, num_dst, is_block, opt_present, frame_keys, ekeys,
-         bnn, bne) = aux
+         bnn, bne, n_plan, plan_meta) = aux
         leaves = list(leaves)
         src, dst, csc_indptr = leaves[:3]
         i = 3
@@ -256,10 +267,14 @@ class Graph:
             node_frames.append({k: leaves[i + j] for j, k in enumerate(keys)})
             i += len(keys)
         edge_frame = {k: leaves[i + j] for j, k in enumerate(ekeys)}
+        i += len(ekeys)
+        plan_arrays = tuple(leaves[i:i + n_plan]) if n_plan else None
         return cls(num_src=num_src, num_dst=num_dst, src=src, dst=dst,
                    csc_indptr=csc_indptr, is_block=is_block,
                    node_frames=tuple(node_frames), edge_frame=edge_frame,
-                   batch_num_nodes=bnn, batch_num_edges=bne, **opts)
+                   batch_num_nodes=bnn, batch_num_edges=bne,
+                   spmm_plan_arrays=plan_arrays, spmm_plan_meta=plan_meta,
+                   **opts)
 
     def replace(self, **kw) -> "Graph":
         fields = dict(num_src=self._num_src, num_dst=self._num_dst,
@@ -270,7 +285,9 @@ class Graph:
                       node_frames=self._node_frames,
                       edge_frame=self._edge_frame,
                       batch_num_nodes=self.batch_num_nodes,
-                      batch_num_edges=self.batch_num_edges)
+                      batch_num_edges=self.batch_num_edges,
+                      spmm_plan_arrays=self.spmm_plan_arrays,
+                      spmm_plan_meta=self.spmm_plan_meta)
         fields.update(kw)
         return Graph(**fields)
 

@@ -106,14 +106,19 @@ def synthetic_reddit(seed: int = 0,
 
 
 def random_power_law_graph(num_nodes: int, avg_degree: float = 16.0,
-                           alpha: float = 2.1, seed: int = 0) -> Graph:
+                           alpha: float = 2.1, offset: float = 100.0,
+                           seed: int = 0) -> Graph:
     """Power-law degree graph for kernel benchmarking (the skew case the
     fork's NbAccess load-balance experiments target,
-    reference: src/kernel/cuda/binary_reduce_impl.cu:445-778)."""
+    reference: src/kernel/cuda/binary_reduce_impl.cu:445-778).
+
+    ``offset`` shifts the zipf ranks (p ~ (rank+offset)^-alpha) so the
+    head is heavy but no single node owns most edges — pure zipf with
+    alpha ~2 gives rank-1 >60% of all edges, which no real graph has.
+    """
     rng = np.random.default_rng(seed)
     E = int(num_nodes * avg_degree)
-    # dst sampled from zipf-like distribution
-    ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
+    ranks = np.arange(num_nodes, dtype=np.float64) + 1.0 + offset
     p = ranks ** -alpha
     p /= p.sum()
     dst = rng.choice(num_nodes, size=E, p=p).astype(np.int32)

@@ -30,6 +30,26 @@ Array = jax.Array
 REDUCERS = ("sum", "mean", "max", "min", "prod")
 
 
+def _pallas_eligible(g, op, reduce_op, lhs_data, rhs_data, lhs_target,
+                     rhs_target) -> bool:
+    if getattr(g, "spmm_plan_arrays", None) is None or g.edge_mask is not None:
+        return False
+    if lhs_target != "u" or op not in ("copy_lhs", "mul"):
+        return False
+    if op == "mul" and rhs_target != "e":
+        return False
+    if reduce_op not in ("sum", "mean"):
+        return False
+    if not jnp.issubdtype(jnp.result_type(lhs_data), jnp.floating):
+        return False
+    if op == "mul":
+        # the kernel broadcasts w up to x's feature shape, not vice versa
+        bshape = jnp.broadcast_shapes(lhs_data.shape[1:], rhs_data.shape[1:])
+        if bshape != tuple(lhs_data.shape[1:]):
+            return False
+    return True
+
+
 def gspmm(g, op: str, reduce_op: str,
           lhs_data: Optional[Array] = None,
           rhs_data: Optional[Array] = None,
@@ -39,9 +59,26 @@ def gspmm(g, op: str, reduce_op: str,
     ``lhs_data``/``rhs_data`` live on the target's index space: (num_src,
     ...) for 'u', (num_dst, ...) for 'v', (num_edges, ...) internal order
     for 'e'.  Returns (num_dst, ...broadcast feature shape...).
+
+    When the graph carries a Pallas block plan (prepare_spmm) and the
+    combination is the hot u/e sum/mean path, dispatches to the
+    scatter-free MXU kernel (ops/pallas/spmm_kernel.py).
     """
     if reduce_op not in REDUCERS:
         raise ValueError(f"unknown reducer {reduce_op!r}")
+    if _pallas_eligible(g, op, reduce_op, lhs_data, rhs_data, lhs_target,
+                        rhs_target):
+        from .pallas.spmm_kernel import gspmm_pallas
+        w = None
+        if op == "mul":
+            w = rhs_data
+            if w.ndim > 1 and w.shape[1:] != lhs_data.shape[1:]:
+                w = jnp.broadcast_to(
+                    w, (w.shape[0],) + jnp.broadcast_shapes(
+                        w.shape[1:], lhs_data.shape[1:]))
+        deg = g.in_degrees() if reduce_op == "mean" else None
+        return gspmm_pallas(g.spmm_plan_meta, g.spmm_plan_arrays, g.src,
+                            g.dst, lhs_data, w, reduce_op, deg)
     lhs = None if op == "copy_rhs" else gather_edge_operand(g, lhs_data, lhs_target)
     rhs = None if op == "copy_lhs" else gather_edge_operand(g, rhs_data, rhs_target)
     msg = apply_binary(op, lhs, rhs)
