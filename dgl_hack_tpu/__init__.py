@@ -7,23 +7,49 @@ partitioning and multi-chip distributed training over a jax.sharding.Mesh.
 """
 from . import function  # noqa: F401
 from .core.graph import Graph, graph, block, from_scipy, reverse  # noqa: F401
+from .core.heterograph import (  # noqa: F401
+    HeteroGraph, heterograph, bipartite, to_homogeneous,
+)
 from .core import message as _message  # attaches Graph methods  # noqa: F401
 from .core.message import (  # noqa: F401
     update_all, apply_edges, apply_nodes, send_and_recv, pull, push,
     EdgeBatch, NodeBatch,
 )
+from .core.batch import batch, unbatch  # noqa: F401
+from .core import transform  # noqa: F401
+from .core.transform import (  # noqa: F401
+    khop_graph, line_graph, to_bidirected, add_self_loop, remove_self_loop,
+    to_simple, remove_edges, node_subgraph, edge_subgraph, in_subgraph,
+    out_subgraph, compact_graphs, to_block, knn_graph,
+)
+from .core import traversal, propagate  # noqa: F401
 from .ops.spmm import gspmm  # noqa: F401
 from .ops.sddmm import gsddmm  # noqa: F401
 from .ops.edge_softmax import edge_softmax  # noqa: F401
-from .ops import segment  # noqa: F401
+from .ops import segment, readout  # noqa: F401
+from .ops.readout import (  # noqa: F401
+    sum_nodes, mean_nodes, max_nodes, sum_edges, mean_edges, max_edges,
+    softmax_nodes, softmax_edges, broadcast_nodes, broadcast_edges,
+    topk_nodes,
+)
 from .ops.pallas.spmm_kernel import prepare_spmm  # noqa: F401
+from . import sampling  # noqa: F401
 
 fn = function  # DGL-style alias: dgl.function
 
 __version__ = "0.1.0"
 __all__ = [
     "Graph", "graph", "block", "from_scipy", "reverse",
+    "HeteroGraph", "heterograph", "bipartite", "to_homogeneous",
     "update_all", "apply_edges", "apply_nodes", "send_and_recv", "pull",
-    "push", "gspmm", "gsddmm", "edge_softmax", "segment", "function", "fn",
-    "prepare_spmm",
+    "push", "batch", "unbatch", "gspmm", "gsddmm", "edge_softmax",
+    "segment", "readout", "function", "fn", "prepare_spmm", "sampling",
+    "transform", "traversal", "propagate",
+    "khop_graph", "line_graph", "to_bidirected", "add_self_loop",
+    "remove_self_loop", "to_simple", "remove_edges", "node_subgraph",
+    "edge_subgraph", "in_subgraph", "out_subgraph", "compact_graphs",
+    "to_block", "knn_graph",
+    "sum_nodes", "mean_nodes", "max_nodes", "sum_edges", "mean_edges",
+    "max_edges", "softmax_nodes", "softmax_edges", "broadcast_nodes",
+    "broadcast_edges", "topk_nodes",
 ]

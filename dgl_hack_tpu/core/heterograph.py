@@ -1,0 +1,275 @@
+"""Heterogeneous graphs: typed nodes/edges over relation-wise Graphs.
+
+The reference implements heterographs as a C++ metagraph + vector of
+``UnitGraph`` relation graphs (reference: src/graph/heterograph.cc,
+src/graph/unit_graph.h:39; python/dgl/heterograph.py:21).  Here a
+HeteroGraph is a plain pytree: a static metagraph (tuple of canonical
+(srctype, etype, dsttype) triples) + one bipartite ``Graph`` per relation
++ per-ntype feature frames.  ``multi_update_all`` reproduces the
+reference's per-etype reduce followed by a cross-type reducer
+(reference: python/dgl/heterograph.py:3570).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..function import BuiltinMessage, BuiltinReduce
+from .graph import Graph, _build, _FrameView
+
+Array = jax.Array
+CanonicalEtype = Tuple[str, str, str]
+
+
+@jax.tree_util.register_pytree_node_class
+class HeteroGraph:
+    """metagraph + {canonical_etype: relation Graph} + per-ntype frames."""
+
+    def __init__(self, relations: Dict[CanonicalEtype, Graph],
+                 num_nodes: Dict[str, int],
+                 node_frames: Optional[Dict[str, Dict[str, Array]]] = None):
+        self.relations = dict(relations)
+        self._num_nodes = dict(num_nodes)
+        if node_frames is None:
+            node_frames = {nt: {} for nt in num_nodes}
+        self._node_frames = node_frames
+
+    # -- schema -------------------------------------------------------------
+    @property
+    def ntypes(self) -> Tuple[str, ...]:
+        return tuple(sorted(self._num_nodes))
+
+    @property
+    def canonical_etypes(self) -> Tuple[CanonicalEtype, ...]:
+        return tuple(self.relations.keys())
+
+    @property
+    def etypes(self) -> Tuple[str, ...]:
+        return tuple(et for _, et, _ in self.canonical_etypes)
+
+    def num_nodes(self, ntype: Optional[str] = None) -> int:
+        if ntype is None:
+            if len(self._num_nodes) != 1:
+                return sum(self._num_nodes.values())
+            ntype = next(iter(self._num_nodes))
+        return self._num_nodes[ntype]
+
+    def num_edges(self, etype: Optional[Union[str, CanonicalEtype]] = None) -> int:
+        if etype is None:
+            return sum(g.num_edges() for g in self.relations.values())
+        return self._rel(etype).num_edges()
+
+    def to_canonical_etype(self, etype: Union[str, CanonicalEtype]) -> CanonicalEtype:
+        if isinstance(etype, tuple):
+            return etype
+        cands = [c for c in self.canonical_etypes if c[1] == etype]
+        if len(cands) != 1:
+            raise KeyError(f"etype {etype!r} is absent or ambiguous "
+                           f"({len(cands)} matches)")
+        return cands[0]
+
+    def _rel(self, etype) -> Graph:
+        return self.relations[self.to_canonical_etype(etype)]
+
+    def __getitem__(self, etype) -> Graph:
+        """Relation slice: the bipartite Graph of one canonical etype, with
+        src/dst frames bound to the node-type frames (mutations visible on
+        the heterograph) — the analogue of DGL's etype-slice views
+        (reference: heterograph.py etype-slicing)."""
+        st, et, dt = self.to_canonical_etype(etype)
+        g = self.relations[(st, et, dt)]
+        g = g.replace(node_frames=(self._node_frames[st],
+                                   self._node_frames[dt]))
+        return g
+
+    # -- frames -------------------------------------------------------------
+    def nodes_data(self, ntype: str) -> _FrameView:
+        return _FrameView(self._node_frames[ntype])
+
+    @property
+    def ndata(self) -> _FrameView:
+        if len(self._num_nodes) != 1:
+            raise ValueError("ndata requires a single node type; use "
+                             "nodes_data(ntype)")
+        return _FrameView(next(iter(self._node_frames.values())))
+
+    def edges_data(self, etype) -> _FrameView:
+        return self._rel(etype).edata
+
+    # -- message passing ----------------------------------------------------
+    def update_all(self, message_func, reduce_func, etype=None) -> None:
+        """Single-etype (or single-relation graph) update_all
+        (reference: heterograph.py:3507)."""
+        if etype is None:
+            if len(self.relations) != 1:
+                raise ValueError("multiple etypes; pass etype= or use "
+                                 "multi_update_all")
+            etype = self.canonical_etypes[0]
+        from .message import update_all as _ua
+        _ua(self[etype], message_func, reduce_func)
+
+    def multi_update_all(self, etype_dict: Dict[Any, Tuple], cross_reducer: str
+                         ) -> None:
+        """Per-etype message+reduce, then cross-type combination
+        (sum/max/min/mean/stack), writing into each dst ntype's frame
+        (reference: python/dgl/heterograph.py:3570)."""
+        from .message import compute_messages
+        from ..ops import segment as seg
+
+        partials: Dict[str, Dict[str, list]] = {}
+        for etype, spec in etype_dict.items():
+            mf, rf = spec[0], spec[1]
+            st, et, dt = self.to_canonical_etype(etype)
+            rel = self[(st, et, dt)]
+            if isinstance(mf, BuiltinMessage) and isinstance(rf, BuiltinReduce):
+                from ..ops.spmm import gspmm
+                from .message import _lookup
+                out = gspmm(
+                    rel, mf.op, rf.reducer,
+                    None if mf.op == "copy_rhs" else _lookup(rel, mf.lhs_target, mf.lhs_field),
+                    None if mf.op == "copy_lhs" else _lookup(rel, mf.rhs_target, mf.rhs_field),
+                    mf.lhs_target or "u", mf.rhs_target or "e")
+                field = rf.out_field
+            else:
+                msgs = compute_messages(rel, mf)
+                if not isinstance(rf, BuiltinReduce):
+                    raise NotImplementedError(
+                        "UDF reducers in multi_update_all not supported; "
+                        "use update_all per etype")
+                out = seg.segment_reduce(rf.reducer, msgs[rf.msg_field],
+                                         rel.dst, rel.num_dst_nodes,
+                                         indices_are_sorted=True,
+                                         mask=rel.edge_mask)
+                field = rf.out_field
+            partials.setdefault(dt, {}).setdefault(field, []).append(out)
+
+        for dt, fields in partials.items():
+            for field, outs in fields.items():
+                if cross_reducer == "sum":
+                    val = sum(outs[1:], outs[0])
+                elif cross_reducer == "mean":
+                    val = sum(outs[1:], outs[0]) / len(outs)
+                elif cross_reducer == "max":
+                    val = jnp.stack(outs).max(0)
+                elif cross_reducer == "min":
+                    val = jnp.stack(outs).min(0)
+                elif cross_reducer == "stack":
+                    val = jnp.stack(outs, axis=1)
+                else:
+                    raise ValueError(f"unknown cross reducer {cross_reducer!r}")
+                self._node_frames[dt][field] = val
+
+    def apply_edges(self, func, etype=None) -> None:
+        from .message import apply_edges as _ae
+        if etype is None:
+            if len(self.relations) != 1:
+                raise ValueError("multiple etypes; pass etype=")
+            etype = self.canonical_etypes[0]
+        _ae(self[etype], func)
+
+    # -- pytree -------------------------------------------------------------
+    def tree_flatten(self):
+        etypes = tuple(self.relations.keys())
+        rel_leaves, rel_defs = [], []
+        for c in etypes:
+            leaves, d = jax.tree_util.tree_flatten(self.relations[c])
+            rel_leaves.append(leaves)
+            rel_defs.append(d)
+        ntypes = tuple(sorted(self._node_frames))
+        fkeys = tuple(tuple(sorted(self._node_frames[nt])) for nt in ntypes)
+        flat = [l for ls in rel_leaves for l in ls]
+        flat += [self._node_frames[nt][k]
+                 for nt, keys in zip(ntypes, fkeys) for k in keys]
+        aux = (etypes, tuple(rel_defs),
+               tuple(len(ls) for ls in rel_leaves),
+               tuple(sorted(self._num_nodes.items())), ntypes, fkeys)
+        return flat, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        etypes, rel_defs, rel_lens, nn_items, ntypes, fkeys = aux
+        leaves = list(leaves)
+        relations = {}
+        i = 0
+        for c, d, n in zip(etypes, rel_defs, rel_lens):
+            relations[c] = jax.tree_util.tree_unflatten(d, leaves[i:i + n])
+            i += n
+        node_frames = {}
+        for nt, keys in zip(ntypes, fkeys):
+            node_frames[nt] = {k: leaves[i + j] for j, k in enumerate(keys)}
+            i += len(keys)
+        return cls(relations, dict(nn_items), node_frames)
+
+    def __repr__(self):
+        return (f"HeteroGraph(num_nodes={self._num_nodes}, etypes="
+                f"{list(self.canonical_etypes)})")
+
+
+def heterograph(data_dict: Dict[CanonicalEtype, Tuple[Any, Any]],
+                num_nodes_dict: Optional[Dict[str, int]] = None,
+                build_csr: bool = True) -> HeteroGraph:
+    """Build a heterograph from {(srctype, etype, dsttype): (src, dst)}
+    (reference: dgl.heterograph, python/dgl/convert.py:405)."""
+    nn: Dict[str, int] = dict(num_nodes_dict or {})
+    rels: Dict[CanonicalEtype, Graph] = {}
+    for (st, et, dt), (src, dst) in data_dict.items():
+        src = np.asarray(src, dtype=np.int32)
+        dst = np.asarray(dst, dtype=np.int32)
+        nn.setdefault(st, 0)
+        nn.setdefault(dt, 0)
+        if num_nodes_dict is None:
+            nn[st] = max(nn[st], int(src.max(initial=-1)) + 1)
+            nn[dt] = max(nn[dt], int(dst.max(initial=-1)) + 1)
+    for (st, et, dt), (src, dst) in data_dict.items():
+        src = np.asarray(src, dtype=np.int32)
+        dst = np.asarray(dst, dtype=np.int32)
+        rels[(st, et, dt)] = _build(src, dst, nn[st], nn[dt],
+                                    is_block=(st != dt), build_csr=build_csr)
+    return HeteroGraph(rels, nn)
+
+
+def bipartite(edges, utype="_U", etype="_E", vtype="_V",
+              num_nodes=None) -> HeteroGraph:
+    """Reference: dgl.bipartite (convert.py:151)."""
+    nn = None
+    if num_nodes is not None:
+        nn = {utype: num_nodes[0], vtype: num_nodes[1]}
+    return heterograph({(utype, etype, vtype): edges}, nn)
+
+
+def to_homogeneous(hg: HeteroGraph) -> Tuple[Graph, Dict[str, Any]]:
+    """Flatten a heterograph to a homogeneous graph with node/edge type
+    arrays (reference: dgl.to_homo, python/dgl/convert.py:671).
+
+    Returns (graph, info) where info holds 'ntype_offsets', 'node_types'
+    (per node), 'edge_types' (per edge, user order), matching the
+    reference's NTYPE/ETYPE node/edge data.
+    """
+    ntypes = hg.ntypes
+    offs = {nt: 0 for nt in ntypes}
+    total = 0
+    for nt in ntypes:
+        offs[nt] = total
+        total += hg.num_nodes(nt)
+    node_types = np.concatenate([
+        np.full(hg.num_nodes(nt), i, np.int32) for i, nt in enumerate(ntypes)])
+    srcs, dsts, etys = [], [], []
+    for i, c in enumerate(hg.canonical_etypes):
+        st, et, dt = c
+        rel = hg.relations[c]
+        s, d = rel.edges(order="eid")
+        srcs.append(np.asarray(s) + offs[st])
+        dsts.append(np.asarray(d) + offs[dt])
+        etys.append(np.full(rel.num_edges(), i, np.int32))
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int32)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int32)
+    g = _build(src.astype(np.int32), dst.astype(np.int32), total, total,
+               is_block=False)
+    info = {"ntype_offsets": offs,
+            "node_types": node_types,
+            "edge_types": np.concatenate(etys) if etys else np.zeros(0, np.int32),
+            "ntypes": ntypes, "etypes": hg.canonical_etypes}
+    return g, info

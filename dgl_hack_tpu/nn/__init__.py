@@ -8,4 +8,5 @@ from .glob import (  # noqa: F401
     SumPooling, AvgPooling, MaxPooling, SortPooling,
     GlobalAttentionPooling, Set2Set,
 )
+from .hetero import HeteroGraphConv  # noqa: F401
 from ..ops.edge_softmax import edge_softmax  # noqa: F401

@@ -1,0 +1,7 @@
+from .neighbor import (  # noqa: F401
+    sample_neighbors, MultiLayerNeighborSampler, NodeDataLoader,
+)
+from .randomwalk import random_walk, node2vec_random_walk  # noqa: F401
+from .negative import (  # noqa: F401
+    uniform_negative_edges, ChunkedNegativeSampler,
+)

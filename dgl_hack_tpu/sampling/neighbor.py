@@ -1,0 +1,187 @@
+"""Neighbor sampling -> static-shape minibatch blocks.
+
+Reference: dgl.sampling.sample_neighbors (python/dgl/sampling/neighbor.py:14
+-> src/graph/sampling/neighbor/neighbor.cc:20 -> per-etype
+aten::CSRRowWiseSampling, src/array/cpu/rowwise_sampling.cc with OpenMP
+rowwise_pick.h).  Sampling stays host-side (numpy) exactly as in the
+reference (their kernels are CPU-only too); the TPU twist is **padded
+static shapes**: with replace=True each block has exactly
+len(seeds)*fanout edges; with replace=False blocks are padded to that
+bound with masked edges, so every minibatch compiles once.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.graph import Graph, _build
+from ..core.transform import to_block
+
+
+class _HostCSC:
+    """Cached numpy view of a Graph's CSC arrays for fast host sampling."""
+
+    def __init__(self, g: Graph):
+        self.indptr = np.asarray(g.csc_indptr)
+        self.src = np.asarray(g.src)
+        self.eid = (np.asarray(g.int2user) if g.int2user is not None
+                    else np.arange(len(self.src), dtype=np.int32))
+        self.num_src = g.num_src_nodes
+        self.num_dst = g.num_dst_nodes
+
+
+def _get_csc(g: Graph) -> _HostCSC:
+    cache = getattr(g, "_host_csc", None)
+    if cache is None:
+        cache = _HostCSC(g)
+        g._host_csc = cache
+    return cache
+
+
+def sample_neighbors(g: Graph, nodes: Sequence[int], fanout: int,
+                     replace: bool = False,
+                     prob: Optional[np.ndarray] = None,
+                     rng: Optional[np.random.Generator] = None
+                     ) -> Tuple[Graph, np.ndarray]:
+    """Pick up to ``fanout`` in-edges per seed (fanout=-1: all).
+
+    Returns (frontier, edge_ids): frontier keeps ORIGINAL node ids (same
+    num_nodes as g) like the reference; edge_ids are user-order ids of the
+    sampled edges (the reference stores them as EID edata).
+    """
+    rng = rng or np.random.default_rng()
+    csc = _get_csc(g)
+    nodes = np.asarray(nodes, dtype=np.int64)
+    starts = csc.indptr[nodes].astype(np.int64)
+    degs = (csc.indptr[nodes + 1] - csc.indptr[nodes]).astype(np.int64)
+
+    if fanout < 0:          # take all in-edges
+        pos = np.concatenate([np.arange(s, s + c)
+                              for s, c in zip(starts, degs)]) \
+            if len(nodes) else np.zeros(0, np.int64)
+        dst_sel = np.repeat(nodes, degs)
+    elif replace:
+        # vectorised: fanout uniform picks per seed (zero-degree -> none)
+        nz = degs > 0
+        r = rng.random((nz.sum(), fanout))
+        pick = (r * degs[nz][:, None]).astype(np.int64)
+        pos = (starts[nz][:, None] + pick).reshape(-1)
+        dst_sel = np.repeat(nodes[nz], fanout)
+    else:
+        # without replacement: per-seed partial permutation
+        pos_list, dst_list = [], []
+        for v, s, c in zip(nodes, starts, degs):
+            if c == 0:
+                continue
+            k = min(fanout, int(c))
+            if prob is not None:
+                p = prob[csc.eid[s:s + c]].astype(np.float64)
+                p = p / p.sum()
+                sel = rng.choice(int(c), size=k, replace=False, p=p)
+            else:
+                sel = rng.choice(int(c), size=k, replace=False)
+            pos_list.append(s + sel)
+            dst_list.append(np.full(k, v, np.int64))
+        pos = np.concatenate(pos_list) if pos_list else np.zeros(0, np.int64)
+        dst_sel = np.concatenate(dst_list) if dst_list else \
+            np.zeros(0, np.int64)
+
+    if prob is not None and fanout >= 0 and replace:
+        raise NotImplementedError("weighted sampling with replacement: use "
+                                  "replace=False or fanout=-1")
+    src_sel = csc.src[pos]
+    eids = csc.eid[pos]
+    frontier = _build(src_sel.astype(np.int32), dst_sel.astype(np.int32),
+                      csc.num_src, csc.num_dst, is_block=False,
+                      build_csr=False)
+    return frontier, eids.astype(np.int32)
+
+
+def _round_up_pow2(n: int, floor: int = 128) -> int:
+    r = floor
+    while r < n:
+        r <<= 1
+    return r
+
+
+class MultiLayerNeighborSampler:
+    """Layered sampler producing one bipartite block per GNN layer.
+
+    Reference: examples/pytorch/graphsage/train_sampling.py
+    NeighborSampler.sample_blocks (sample_neighbors -> to_block per
+    layer).  Blocks are padded to static shapes (num_src rounded to a
+    power-of-two bucket; edges padded to len(seeds)*fanout) so XLA
+    compiles one executable per bucket, the TPU replacement for dynamic
+    minibatch shapes.
+    """
+
+    def __init__(self, fanouts: Sequence[int], replace: bool = False,
+                 pad: bool = True, seed: Optional[int] = None):
+        self.fanouts = list(fanouts)
+        self.replace = replace
+        self.pad = pad
+        self.rng = np.random.default_rng(seed)
+
+    def sample_blocks(self, g: Graph, seeds: Sequence[int]
+                      ) -> Tuple[List[Graph], np.ndarray, np.ndarray]:
+        """Returns (blocks outermost-first, input_node_ids, seed_ids)."""
+        seeds = np.asarray(seeds, dtype=np.int32)
+        blocks: List[Graph] = []
+        cur = seeds
+        for fanout in reversed(self.fanouts):
+            frontier, eids = sample_neighbors(g, cur, fanout,
+                                              replace=self.replace,
+                                              rng=self.rng)
+            pad_src = pad_e = None
+            if self.pad:
+                cap = len(cur) * (fanout if fanout > 0 else 0)
+                pad_e = cap if fanout > 0 else None
+                pad_src = _round_up_pow2(len(cur) + (cap or 0)) \
+                    if fanout > 0 else None
+            blk, src_ids, _ = to_block(frontier, cur, pad_num_src=pad_src,
+                                       pad_num_edges=pad_e)
+            blk.edata["_ID"] = np.pad(
+                eids, (0, blk.num_edges() - len(eids)))
+            blocks.insert(0, blk)
+            cur = src_ids
+        return blocks, cur, seeds
+
+
+class NodeDataLoader:
+    """Minibatch iterator over seed nodes (reference: the
+    torch DataLoader + collate pattern in train_sampling.py:21-38).
+
+    Yields (input_nodes, seeds, blocks); final partial batch is padded to
+    batch_size with repeated seeds so shapes stay static.
+    """
+
+    def __init__(self, g: Graph, nids: Sequence[int],
+                 sampler: MultiLayerNeighborSampler, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = False,
+                 seed: Optional[int] = None):
+        self.g = g
+        self.nids = np.asarray(nids, dtype=np.int32)
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.nids)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = self.rng.permutation(len(self.nids)) if self.shuffle \
+            else np.arange(len(self.nids))
+        bs = self.batch_size
+        for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
+            batch = self.nids[order[i:i + bs]]
+            if len(batch) < bs:                      # pad final batch
+                batch = np.concatenate(
+                    [batch, batch[np.zeros(bs - len(batch), np.int64)]])
+            blocks, input_nodes, seeds = self.sampler.sample_blocks(
+                self.g, batch)
+            yield input_nodes, seeds, blocks

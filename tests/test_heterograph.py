@@ -1,0 +1,97 @@
+"""Heterograph tests (counterpart of reference tests/compute/test_heterograph.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dgl_hack_tpu as dgl
+from dgl_hack_tpu import fn
+
+
+@pytest.fixture
+def hg(rng):
+    return dgl.heterograph({
+        ("user", "follows", "user"): ([0, 1, 2], [1, 2, 3]),
+        ("user", "plays", "game"): ([0, 1, 1, 3], [0, 0, 1, 1]),
+        ("developer", "develops", "game"): ([0, 1], [0, 1]),
+    })
+
+
+def test_schema(hg):
+    assert set(hg.ntypes) == {"user", "game", "developer"}
+    assert hg.num_nodes("user") == 4
+    assert hg.num_nodes("game") == 2
+    assert hg.num_edges("plays") == 4
+    assert hg.to_canonical_etype("develops") == \
+        ("developer", "develops", "game")
+
+
+def test_update_all_single_etype(hg):
+    hg.nodes_data("user")["h"] = jnp.arange(4.0)[:, None]
+    hg.update_all(fn.copy_u("h", "m"), fn.sum("m", "agg"), etype="plays")
+    out = np.asarray(hg.nodes_data("game")["agg"])
+    np.testing.assert_allclose(out, [[0.0 + 1.0], [1.0 + 3.0]])
+
+
+def test_multi_update_all(hg):
+    hg.nodes_data("user")["h"] = jnp.ones((4, 2))
+    hg.nodes_data("developer")["h"] = 2 * jnp.ones((2, 2))
+    hg.multi_update_all({
+        "plays": (fn.copy_u("h", "m"), fn.sum("m", "agg")),
+        "develops": (fn.copy_u("h", "m"), fn.sum("m", "agg")),
+    }, "sum")
+    out = np.asarray(hg.nodes_data("game")["agg"])
+    # game0: 2 users + 1 dev*2 = 4; game1: 2 users + 2 = 4
+    np.testing.assert_allclose(out, [[4.0, 4.0], [4.0, 4.0]])
+
+
+def test_multi_update_all_stack(hg):
+    hg.nodes_data("user")["h"] = jnp.ones((4, 2))
+    hg.nodes_data("developer")["h"] = jnp.ones((2, 2))
+    hg.multi_update_all({
+        "plays": (fn.copy_u("h", "m"), fn.sum("m", "agg")),
+        "develops": (fn.copy_u("h", "m"), fn.sum("m", "agg")),
+    }, "stack")
+    assert hg.nodes_data("game")["agg"].shape == (2, 2, 2)
+
+
+def test_pytree_roundtrip(hg):
+    hg.nodes_data("user")["h"] = jnp.ones((4, 3))
+    leaves, treedef = jax.tree_util.tree_flatten(hg)
+    hg2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert hg2.canonical_etypes == hg.canonical_etypes
+    assert "h" in hg2.nodes_data("user")
+
+    @jax.jit
+    def f(h):
+        h.update_all(fn.copy_u("h", "m"), fn.sum("m", "out"), etype="follows")
+        return h.nodes_data("user")["out"]
+
+    out = f(hg)
+    assert out.shape == (4, 3)
+
+
+def test_to_homogeneous(hg):
+    g, info = dgl.to_homogeneous(hg)
+    assert g.num_nodes() == 4 + 2 + 2
+    assert g.num_edges() == 3 + 4 + 2
+    assert len(info["edge_types"]) == 9
+
+
+def test_hetero_conv(hg, rng):
+    import dgl_hack_tpu.nn as gnn
+    mods = {
+        "follows": gnn.SAGEConv(out_feats=5),
+        "plays": gnn.SAGEConv(out_feats=5),
+        "develops": gnn.SAGEConv(out_feats=5),
+    }
+    conv = gnn.HeteroGraphConv(mods=mods, aggregate="sum")
+    inputs = {
+        "user": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+        "game": jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32)),
+        "developer": jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32)),
+    }
+    params = conv.init(jax.random.PRNGKey(0), hg, inputs)
+    out = conv.apply(params, hg, inputs)
+    assert out["game"].shape == (2, 5)
+    assert out["user"].shape == (4, 5)

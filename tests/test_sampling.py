@@ -1,0 +1,97 @@
+"""Sampling tests (counterpart of reference tests/compute/test_sampling.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dgl_hack_tpu as dgl
+from dgl_hack_tpu.sampling import (
+    sample_neighbors, MultiLayerNeighborSampler, NodeDataLoader, random_walk,
+    ChunkedNegativeSampler,
+)
+
+
+@pytest.fixture
+def g(rng):
+    src = rng.integers(0, 50, 400).astype(np.int32)
+    dst = rng.integers(0, 50, 400).astype(np.int32)
+    return dgl.graph((src, dst), num_nodes=50)
+
+
+def test_sample_neighbors_all(g):
+    frontier, eids = sample_neighbors(g, [3, 7], -1)
+    s, d = (np.asarray(x) for x in frontier.edges(order="eid"))
+    assert set(d.tolist()) <= {3, 7}
+    deg = np.asarray(g.in_degrees())
+    assert len(s) == deg[3] + deg[7]
+    # sampled edges exist in the original graph
+    gs, gd = (np.asarray(x) for x in g.edges(order="eid"))
+    for e, (ss, dd) in zip(eids, zip(s, d)):
+        assert gs[e] == ss and gd[e] == dd
+
+
+@pytest.mark.parametrize("replace", [True, False])
+def test_sample_neighbors_fanout(g, replace):
+    frontier, eids = sample_neighbors(g, np.arange(10), 5, replace=replace)
+    s, d = (np.asarray(x) for x in frontier.edges(order="eid"))
+    deg = np.asarray(g.in_degrees())
+    for v in range(10):
+        cnt = (d == v).sum()
+        if replace:
+            assert cnt == (5 if deg[v] > 0 else 0)
+        else:
+            assert cnt == min(5, deg[v])
+
+
+def test_multilayer_sampler(g):
+    sampler = MultiLayerNeighborSampler([3, 3], replace=True, seed=0)
+    seeds = np.array([0, 1, 2, 3], np.int32)
+    blocks, input_nodes, out_seeds = sampler.sample_blocks(g, seeds)
+    assert len(blocks) == 2
+    # innermost block's dst are the seeds
+    assert blocks[-1].num_dst_nodes == 4
+    # static padded shapes
+    assert blocks[-1].num_edges() == 4 * 3
+    # chained: block0's dst count == block1's src size
+    assert blocks[0].num_dst_nodes == blocks[1].num_src_nodes
+
+
+def test_dataloader_end_to_end(g, rng):
+    """Minibatch GraphSAGE forward through sampled blocks (the
+    reference's train_sampling.py workflow)."""
+    import dgl_hack_tpu.nn as gnn
+    from dgl_hack_tpu.models import GraphSAGE
+    feats = jnp.asarray(rng.normal(size=(50, 8)).astype(np.float32))
+    sampler = MultiLayerNeighborSampler([4, 4], replace=True, seed=0)
+    loader = NodeDataLoader(g, np.arange(50), sampler, batch_size=16,
+                            seed=0)
+    model = GraphSAGE(hidden_feats=16, out_feats=3)
+    n_batches = 0
+    params = None
+    for input_nodes, seeds, blocks in loader:
+        x = feats[jnp.asarray(input_nodes)]
+        if params is None:
+            params = model.init(jax.random.PRNGKey(0), blocks, x)
+        out = model.apply(params, blocks, x)
+        assert out.shape == (16, 3)
+        n_batches += 1
+    assert n_batches == len(loader) == 4
+
+
+def test_random_walk(g):
+    traces = random_walk(g, [0, 1, 2], length=5)
+    assert traces.shape == (3, 6)
+    s, d = (np.asarray(x) for x in g.edges(order="eid"))
+    pairs = set(zip(s.tolist(), d.tolist()))
+    for row in traces:
+        for a, b in zip(row[:-1], row[1:]):
+            if b < 0:
+                break
+            assert (a, b) in pairs
+
+
+def test_negative_sampler():
+    ns = ChunkedNegativeSampler(neg_sample_size=8, chunk_size=4, seed=0)
+    neg = ns.sample(num_pos=10, num_nodes=100)
+    assert neg.shape == (3, 8)
+    assert neg.max() < 100
