@@ -8,9 +8,9 @@ removes the scatter from forward AND backward:
 
 * Edges are dst-sorted (the Graph's internal CSC order).  A host-side
   planner packs them into fixed blocks of TE edges, each block confined to
-  one TR-row output window (windows with more than TE edges get several
-  consecutive blocks; empty windows get one zero block so their output
-  tile is written).
+  one TR-row output window (windows with more than TE edges — hub rows —
+  get several consecutive blocks; empty windows get one zero block so
+  their output tile is written).
 * Kernel: per block, build the (TR, TE) one-hot selection matrix
   S[r, e] = [local_row[e] == r] on the fly in VMEM and accumulate the
   window tile as an MXU matmul S @ m_block.  Consecutive blocks of one
@@ -18,23 +18,26 @@ removes the scatter from forward AND backward:
   block resident while its index_map target is unchanged).
 * Padded slots carry local_row == TR, matching no row — they vanish with
   no masking arithmetic.
-* Blocks are grouped into window-aligned **chunks** so the gathered
-  message buffer never exceeds a VMEM/HBM-friendly budget (a full-graph
-  (E, F) buffer would not fit for pod-scale graphs).
-* The messages themselves (x[src] and optional edge weights) are gathered
-  by XLA's native gather engine — measured at ~7 ns/row on v5e, the
-  hardware's fine-grained random-access limit — so the Pallas kernel only
-  ever streams.
-* **Coupled VJP**: dx is the same kernel over the reverse (src-sorted)
-  plan with dout as the node operand, dw is a pure-gather SDDMM — no
-  scatter anywhere in the autodiff graph.  This mirrors how the reference
-  pairs explicit forward/backward kernels
+* Blocks are grouped into **uniform** chunks (fixed blocks-per-chunk and
+  windows-per-chunk caps) driven by one ``lax.scan``: a single Mosaic
+  kernel compilation, one gather shape, and chunk buffers bounded to one
+  chunk — a full-graph (E, F) message buffer would neither fit nor
+  compile quickly.  Chunk results are overlap-added into the output at
+  dynamic row offsets, which also handles hub windows split across
+  chunks.
+* The messages (x[src] and optional edge weights) are gathered by XLA's
+  native gather engine — measured ~7 ns/row on v5e, the hardware's
+  fine-grained random-access limit — so the Pallas kernel only streams.
+* **Coupled VJP**: dx runs the same kernel over the reverse (src-sorted)
+  plan with dout as the node operand; dw is a pure-gather SDDMM — no
+  scatter anywhere in the autodiff graph.  This mirrors the reference's
+  explicit forward/backward kernel pairs
   (reference: src/kernel/binary_reduce.cc:452,551 BackwardLhs/Rhs).
 """
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,112 +49,116 @@ Array = jax.Array
 
 DEFAULT_TR = 128      # output rows per window (MXU-aligned)
 DEFAULT_TE = 1024     # edges per block (1-D int32 XLA tile = 1024)
-# max bytes of gathered f32 messages materialised per chunk
-DEFAULT_CHUNK_BYTES = 1 << 30
-
-
-class ChunkMeta(NamedTuple):
-    w0: int          # first window of chunk
-    w1: int          # one-past-last window
-    num_blocks: int
-    carry_in: bool   # first window continues the previous chunk's last one
+DEFAULT_BC = 512      # blocks per chunk  (gathered chunk = BC*TE rows)
+DEFAULT_WC = 512      # windows per chunk cap
 
 
 class SegmentPlan(NamedTuple):
-    """Host-built blocking plan for one direction (dst- or src-major).
+    """Host-built uniform blocking plan for one direction.
 
-    Per chunk c: perm[c] (Bc*TE,) padded position -> edge id (sentinel E);
-    local_row[c] (Bc*TE,) row - window*TR (sentinel TR);
-    window[c] (Bc,) chunk-rebased window index, non-decreasing.
+    perm      (C, BC*TE) int32  padded position -> edge id (sentinel E)
+    local_row (C, BC*TE) int32  row - window*TR (sentinel TR)
+    window    (C, BC)    int32  chunk-rebased window per block, non-decr.
+    row0      (C,)       int32  output row offset (w0 * TR) per chunk
+    valid     (C,)       int32  valid output rows per chunk ((w1-w0)*TR)
     """
-    perms: Tuple[np.ndarray, ...]
-    local_rows: Tuple[np.ndarray, ...]
-    windows: Tuple[np.ndarray, ...]
-    chunk_meta: Tuple[ChunkMeta, ...]
+    perm: np.ndarray
+    local_row: np.ndarray
+    window: np.ndarray
+    row0: np.ndarray
+    valid: np.ndarray
     num_rows: int
     tr: int
     te: int
+    wc: int
 
-    def device_arrays(self):
-        return tuple(jnp.asarray(a) for trip in
-                     zip(self.perms, self.local_rows, self.windows)
-                     for a in trip)
+    @property
+    def num_chunks(self) -> int:
+        return self.perm.shape[0]
+
+    def device_arrays(self) -> Tuple[Array, ...]:
+        return (jnp.asarray(self.perm), jnp.asarray(self.local_row),
+                jnp.asarray(self.window), jnp.asarray(self.row0),
+                jnp.asarray(self.valid))
 
     @property
     def static_meta(self):
-        return (self.num_rows, self.tr, self.te, tuple(self.chunk_meta))
+        return (self.num_rows, self.tr, self.te, self.wc, self.num_chunks)
+
+
+N_PLAN_ARRAYS = 5
 
 
 def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
                        num_rows: int, tr: int = DEFAULT_TR,
-                       te: int = DEFAULT_TE, feat_bytes_hint: int = 512,
-                       chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> SegmentPlan:
-    """Pack row-sorted edges into (window, block) tiles and window-aligned
-    chunks.
-
-    indptr: (num_rows+1,) row offsets; row_sorted: (E,) sorted row ids.
-    feat_bytes_hint: expected bytes per message row, controls chunking.
-    """
+                       te: int = DEFAULT_TE, bc: int = DEFAULT_BC,
+                       wc: int = DEFAULT_WC) -> SegmentPlan:
+    """Pack row-sorted edges into uniform (window, block, chunk) tiles."""
     indptr = np.asarray(indptr)
     row_sorted = np.asarray(row_sorted)
     E = row_sorted.shape[0]
     W = max(1, -(-num_rows // tr))
-    win_starts = indptr[np.minimum(np.arange(W) * tr, num_rows)]
-    win_ends = indptr[np.minimum((np.arange(W) + 1) * tr, num_rows)]
+    win_starts = indptr[np.minimum(np.arange(W) * tr, num_rows)].astype(np.int64)
+    win_ends = indptr[np.minimum((np.arange(W) + 1) * tr, num_rows)].astype(np.int64)
     counts = win_ends - win_starts
     blocks_per_win = np.maximum(-(-counts // te), 1)
 
-    max_blocks_per_chunk = max(int(chunk_bytes // (te * feat_bytes_hint)), 8)
+    # global block list
+    n_blocks = int(blocks_per_win.sum())
+    blk_win = np.repeat(np.arange(W, dtype=np.int64), blocks_per_win)
+    in_win_idx = (np.arange(n_blocks, dtype=np.int64)
+                  - np.repeat(np.cumsum(blocks_per_win) - blocks_per_win,
+                              blocks_per_win))
+    blk_start = win_starts[blk_win] + in_win_idx * te
+    blk_count = np.minimum(te, np.maximum(counts[blk_win]
+                                          - in_win_idx * te, 0)).astype(np.int64)
 
-    # global block list: (window, edge_start, edge_count); giant windows
-    # (hub rows) may be split across chunks — the assembly pass adds the
-    # boundary partial tiles back together
-    blk_win, blk_start, blk_count = [], [], []
-    for w in range(W):
-        s, c = int(win_starts[w]), int(counts[w])
-        k = int(blocks_per_win[w])
-        for j in range(k):
-            blk_win.append(w)
-            blk_start.append(s + j * te)
-            blk_count.append(min(te, c - j * te) if c else 0)
-    blk_win = np.asarray(blk_win, np.int32)
-    blk_start = np.asarray(blk_start, np.int64)
-    blk_count = np.asarray(blk_count, np.int32)
-    B_total = blk_win.shape[0]
-
-    perms, lrs, wins, metas = [], [], [], []
+    # chunk boundaries: <= bc blocks AND <= wc windows per chunk
+    bounds = [0]
     b0 = 0
-    prev_last_w = -1
-    while b0 < B_total:
-        b1 = min(b0 + max_blocks_per_chunk, B_total)
-        Bc = b1 - b0
+    while b0 < n_blocks:
+        b1 = min(b0 + bc, n_blocks)
+        # enforce window span
+        while blk_win[b1 - 1] - blk_win[b0] + 1 > wc:
+            # binary-ish shrink: cut at first block exceeding window span
+            lim = blk_win[b0] + wc
+            b1 = int(np.searchsorted(blk_win[b0:b1], lim) + b0)
+        bounds.append(b1)
+        b0 = b1
+    C = len(bounds) - 1
+
+    perm = np.full((C, bc * te), E, dtype=np.int32)
+    local_row = np.full((C, bc * te), tr, dtype=np.int32)
+    window = np.zeros((C, bc), dtype=np.int32)
+    row0 = np.zeros(C, dtype=np.int32)
+    valid = np.zeros(C, dtype=np.int32)
+    for c in range(C):
+        b0, b1 = bounds[c], bounds[c + 1]
         w0 = int(blk_win[b0])
         w1 = int(blk_win[b1 - 1]) + 1
-        perm = np.full(Bc * te, E, dtype=np.int32)
-        local_row = np.full(Bc * te, tr, dtype=np.int32)
-        for i in range(Bc):
-            c = int(blk_count[b0 + i])
-            if c:
+        row0[c] = w0 * tr
+        valid[c] = (w1 - w0) * tr
+        window[c, :b1 - b0] = (blk_win[b0:b1] - w0).astype(np.int32)
+        # padding blocks at the tail map to the chunk's last window: they
+        # contribute zero (sentinel local_row) and are never "first"
+        window[c, b1 - b0:] = int(blk_win[b1 - 1] - w0)
+        for i in range(b1 - b0):
+            cnt = int(blk_count[b0 + i])
+            if cnt:
                 s = int(blk_start[b0 + i])
-                perm[i * te:i * te + c] = np.arange(s, s + c, dtype=np.int32)
-                local_row[i * te:i * te + c] = \
-                    row_sorted[s:s + c].astype(np.int32) \
+                perm[c, i * te:i * te + cnt] = \
+                    np.arange(s, s + cnt, dtype=np.int32)
+                local_row[c, i * te:i * te + cnt] = \
+                    row_sorted[s:s + cnt].astype(np.int32) \
                     - int(blk_win[b0 + i]) * tr
-        window = (blk_win[b0:b1] - w0).astype(np.int32)
-        perms.append(perm)
-        lrs.append(local_row)
-        wins.append(window)
-        metas.append(ChunkMeta(w0, w1, Bc, carry_in=(w0 == prev_last_w)))
-        prev_last_w = w1 - 1
-        b0 = b1
-    return SegmentPlan(tuple(perms), tuple(lrs), tuple(wins), tuple(metas),
-                       num_rows, tr, te)
+    return SegmentPlan(perm, local_row, window, row0, valid, num_rows,
+                       tr, te, wc)
 
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-def _fwd_kernel(window_ref, lr_ref, m_ref, out_ref, *, tr: int, te: int):
+def _reduce_kernel(window_ref, lr_ref, m_ref, out_ref, *, tr: int, te: int):
     b = pl.program_id(1)
     lr = lr_ref[:]                                       # (TE,) int32
     rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
@@ -171,17 +178,6 @@ def _fwd_kernel(window_ref, lr_ref, m_ref, out_ref, *, tr: int, te: int):
     @pl.when(jnp.logical_not(is_first))
     def _():
         out_ref[:] = out_ref[:] + contrib.astype(out_ref.dtype)
-
-
-def _expand_kernel(window_ref, lr_ref, g_ref, dm_ref, *, tr: int, te: int):
-    """dm_block = S^T @ g_window — the transpose/expand direction."""
-    lr = lr_ref[:]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (te, tr), 1)
-    ST = (cols == lr[:, None]).astype(g_ref.dtype)       # (TE, TR)
-    dm_ref[:] = jnp.dot(ST, g_ref[:],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST
-                        ).astype(dm_ref.dtype)
 
 
 def _interpret() -> bool:
@@ -210,7 +206,7 @@ def _reduce_call(m: Array, local_row: Array, window: Array, *,
         out_specs=pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tr=tr, te=te),
+        functools.partial(_reduce_kernel, tr=tr, te=te),
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((num_windows * tr, F), m.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -219,38 +215,13 @@ def _reduce_call(m: Array, local_row: Array, window: Array, *,
     )(window, local_row, m)
 
 
-def _expand_call(g_rows: Array, local_row: Array, window: Array, *,
-                 tr: int, te: int, num_blocks: int) -> Array:
-    F = g_rows.shape[1]
-    ft = _pick_ft(F)
-    grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(max(1, F // ft), num_blocks),
-        in_specs=[
-            pl.BlockSpec((te,), lambda f, b, win: (b,)),
-            pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)),
-        ],
-        out_specs=pl.BlockSpec((te, ft), lambda f, b, win: (b, f)),
-    )
-    return pl.pallas_call(
-        functools.partial(_expand_kernel, tr=tr, te=te),
-        grid_spec=grid,
-        out_shape=jax.ShapeDtypeStruct((num_blocks * te, F), g_rows.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-        interpret=_interpret(),
-    )(window, local_row, g_rows)
-
-
 # ---------------------------------------------------------------------------
-# direction driver: gather messages per chunk, reduce, concatenate
+# direction driver: scan uniform chunks, overlap-add into the output
 # ---------------------------------------------------------------------------
 def _edge_operand(edge_ids: Array, E: int, node_vals: Array,
                   end_ids: Array, weights: Optional[Array]) -> Array:
     """m[p] = node_vals[end_ids[edge_ids[p]]] (* weights[edge_ids[p]]).
-
-    edge_ids contains sentinel E for padding: clipped (the slot is killed
-    by local_row == TR inside the kernel)."""
+    Sentinel slots are clipped — killed by local_row == TR in-kernel."""
     eid = jnp.minimum(edge_ids, E - 1)
     m = node_vals[end_ids[eid]]
     if weights is not None:
@@ -264,39 +235,34 @@ def _edge_operand(edge_ids: Array, E: int, node_vals: Array,
 def _run_direction(plan_arrays: Sequence[Array], static_meta,
                    node_vals: Array, end_ids: Array,
                    weights: Optional[Array], E: int) -> Array:
-    """Apply the planned reduce over all chunks. node_vals (N_other, F);
-    end_ids (E,) maps edge id -> gathered node; output (num_rows, F).
+    """Reduce all chunks via one scanned Pallas call; returns
+    (num_rows, F) float32."""
+    num_rows, tr, te, wc, C = static_meta
+    perm_s, lr_s, win_s, row0_s, valid_s = plan_arrays
+    F = node_vals.shape[1]
+    bc = win_s.shape[1]
+    out_len = wc * tr
 
-    Chunks may split a giant (hub) window: the boundary partial tiles are
-    carried forward and summed here."""
-    num_rows, tr, te, chunk_meta = static_meta
-    pieces = []          # row-range outputs, in order, non-overlapping
-    carry = None         # (window_idx, (tr, F) partial tile)
-    dep = None           # serialise chunks: caps live gather buffers at one
-    for c, cm in enumerate(chunk_meta):
-        perm, lr, win = plan_arrays[3 * c:3 * c + 3]
-        if dep is not None and len(chunk_meta) > 2:
-            perm, _ = jax.lax.optimization_barrier((perm, dep))
+    pad_rows = ((num_rows + tr - 1) // tr) * tr + out_len
+    init = jnp.zeros((pad_rows, F), jnp.float32)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (out_len, 1), 0)
+
+    def body(acc, xs):
+        perm, lr, win, row0, valid = xs
         m = _edge_operand(perm, E, node_vals, end_ids, weights)
-        out = _reduce_call(m, lr, win, tr=tr, te=te,
-                           num_windows=cm.w1 - cm.w0, num_blocks=cm.num_blocks)
-        if carry is not None:
-            if cm.carry_in:
-                out = out.at[:tr].add(carry[1])
-            else:
-                pieces.append(carry[1])
-            carry = None
-        nxt = chunk_meta[c + 1] if c + 1 < len(chunk_meta) else None
-        if nxt is not None and nxt.carry_in and nxt.w0 == cm.w1 - 1:
-            pieces.append(out[:-tr])
-            carry = (cm.w1 - 1, out[-tr:])
-        else:
-            pieces.append(out)
-        dep = out[:1, :1]
-    if carry is not None:
-        pieces.append(carry[1])
-    full = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
-    return full[:num_rows]
+        out = _reduce_call(m, lr, win, tr=tr, te=te, num_windows=wc,
+                           num_blocks=bc)
+        out = jnp.where(row_iota < valid, out, 0.0)
+        cur = jax.lax.dynamic_slice(acc, (row0, 0), (out_len, F))
+        acc = jax.lax.dynamic_update_slice(acc, cur + out, (row0, 0))
+        return acc, None
+
+    if C == 1:
+        acc, _ = body(init, tuple(a[0] for a in plan_arrays))
+    else:
+        acc, _ = jax.lax.scan(body, init, tuple(plan_arrays))
+    return acc[:num_rows]
 
 
 # ---------------------------------------------------------------------------
@@ -304,8 +270,7 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
 # ---------------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _gspmm_fused(meta_fwd, meta_rev, has_w, x, w, src, dst, *plan_arrays):
-    n_fwd = 3 * len(meta_fwd[3])
-    out = _run_direction(plan_arrays[:n_fwd], meta_fwd, x, src,
+    out = _run_direction(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, x, src,
                          w if has_w else None, src.shape[0])
     return out
 
@@ -319,14 +284,14 @@ def _gspmm_fused_fwd(meta_fwd, meta_rev, has_w, x, w, src, dst,
 
 def _gspmm_fused_bwd(meta_fwd, meta_rev, has_w, res, g):
     x, w, src, dst, plan_arrays = res
-    n_fwd = 3 * len(meta_fwd[3])
-    rev_arrays = plan_arrays[n_fwd:]
+    rev_arrays = plan_arrays[N_PLAN_ARRAYS:]
     E = src.shape[0]
-    # dx[u] = sum_{e=(u,v)} g[v] * w[e]  — reduce over the src-major plan.
+    # dx[u] = sum_{e=(u,v)} g[v] * w[e] — reduce over the src-major plan
     dx = _run_direction(rev_arrays, meta_rev, g, dst,
                         w if has_w else None, E)
+    dx = dx.astype(x.dtype)
     if has_w:
-        # dw[e] = <x[src_e], g[dst_e]>  (or elementwise for (E, F) weights)
+        # dw[e] = <x[src_e], g[dst_e]> (or elementwise for (E, F) weights)
         prod = x[src] * g[dst]
         dw = prod.sum(-1) if w.ndim == 1 else (
             prod.sum(-1, keepdims=True) if w.shape[-1] == 1 else prod)
@@ -342,8 +307,7 @@ def _gspmm_fused_bwd(meta_fwd, meta_rev, has_w, res, g):
 _gspmm_fused.defvjp(_gspmm_fused_fwd, _gspmm_fused_bwd)
 
 # jit so XLA buffer assignment (not eager async dispatch) owns chunk
-# buffer lifetimes — eagerly enqueueing every chunk gather would hold
-# all of them live at once and exhaust HBM on big graphs
+# buffer lifetimes
 _gspmm_fused_jit = jax.jit(_gspmm_fused, static_argnums=(0, 1, 2))
 
 
@@ -363,26 +327,17 @@ class GspmmPlan(NamedTuple):
 
 def build_gspmm_plan(csc_indptr, dst_sorted, csr_indptr, src_sorted_eids,
                      src_of_edges, num_src, num_dst, tr: int = DEFAULT_TR,
-                     te: int = DEFAULT_TE,
-                     chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> GspmmPlan:
-    """Build both direction plans from the Graph's CSC/CSR arrays.
-
-    src_sorted_eids: (E,) internal edge ids in src-sorted order (csr_eids);
-    src_of_edges: (E,) src id per internal edge.
-    """
-    fwd = build_segment_plan(csc_indptr, dst_sorted, num_dst, tr, te,
-                             chunk_bytes=chunk_bytes)
-    src_sorted = np.asarray(src_of_edges)[np.asarray(src_sorted_eids)]
-    rev = build_segment_plan(csr_indptr, src_sorted, num_src, tr, te,
-                             chunk_bytes=chunk_bytes)
+                     te: int = DEFAULT_TE, bc: int = DEFAULT_BC,
+                     wc: int = DEFAULT_WC) -> GspmmPlan:
+    """Build both direction plans from the Graph's CSC/CSR arrays."""
+    fwd = build_segment_plan(csc_indptr, dst_sorted, num_dst, tr, te, bc, wc)
+    eids = np.asarray(src_sorted_eids)
+    src_sorted = np.asarray(src_of_edges)[eids]
+    rev = build_segment_plan(csr_indptr, src_sorted, num_src, tr, te, bc, wc)
     # compose: rev perm positions index src-sorted order -> internal ids
     E = src_sorted.shape[0]
-    eids = np.asarray(src_sorted_eids)
-    new_perms = []
-    for perm in rev.perms:
-        comp = np.where(perm < E, eids[np.minimum(perm, E - 1)], E)
-        new_perms.append(comp.astype(np.int32))
-    rev = rev._replace(perms=tuple(new_perms))
+    comp = np.where(rev.perm < E, eids[np.minimum(rev.perm, E - 1)], E)
+    rev = rev._replace(perm=comp.astype(np.int32))
     return GspmmPlan(fwd, rev)
 
 
@@ -393,8 +348,8 @@ def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
     """out[v] = reduce_{e=(u,v)} x[u] (* w[e]); reduce in {sum, mean}.
 
     plan_meta = GspmmPlan.static_meta; plan_arrays = fwd.device_arrays()
-    + rev.device_arrays().  x (N_src, F); edge_weight (E,), (E,1) or
-    (E,F) in internal edge order.
+    + rev.device_arrays().  x (N_src, F...); edge_weight (E,), (E,1) or
+    (E,F...) in internal edge order.
     """
     meta_fwd, meta_rev = plan_meta
     shape = x.shape
@@ -405,6 +360,7 @@ def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
     out = _gspmm_fused_jit(meta_fwd, meta_rev, w is not None, x2,
                            w if w is not None else jnp.zeros((0,), x.dtype),
                            src, dst, *plan_arrays)
+    out = out.astype(x.dtype)
     if reduce_op == "mean":
         deg = jnp.maximum(in_degrees.astype(out.dtype), 1.0)
         out = out / deg[:, None]
@@ -414,7 +370,7 @@ def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
 
 
 def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
-                 chunk_bytes: int = DEFAULT_CHUNK_BYTES):
+                 bc: int = DEFAULT_BC, wc: int = DEFAULT_WC):
     """Attach a Pallas gspmm block plan to a Graph (returns a new Graph
     sharing all other arrays).  Requires the CSR format (build_csr=True).
     One-time host-side cost per graph, analogous to the reference's lazy
@@ -425,7 +381,7 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
         np.asarray(g.csc_indptr), np.asarray(g.dst),
         np.asarray(g.csr_indptr), np.asarray(g.csr_eids),
         np.asarray(g.src), g.num_src_nodes, g.num_dst_nodes,
-        tr=tr, te=te, chunk_bytes=chunk_bytes)
+        tr=tr, te=te, bc=bc, wc=wc)
     arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
     return g.replace(spmm_plan_arrays=arrays,
                      spmm_plan_meta=plan.static_meta)

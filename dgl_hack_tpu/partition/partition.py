@@ -1,0 +1,185 @@
+"""Graph partitioning with halo — the distributed-training substrate.
+
+Reference: METIS k-way partitioning (src/graph/metis_partition.cc:35
+METIS_PartGraphKway) + ``partition_graph_with_halo``
+(python/dgl/transform.py:551 -> GraphOp::GetSubgraphWithHalo) + the
+partition tool (tools/partition.py:30-52) which stores per-part graphs
+with ``inner_node``/``inner_edge`` masks and original-id (NID/EID) maps.
+
+libmetis is not vendored here; ``partition`` offers:
+* 'random'  — hashed assignment (the reference tool's fallback),
+* 'fennel'  — single-pass streaming partitioner (Fennel, WSDM'14-style
+  greedy objective) giving METIS-like balanced low-cut partitions in pure
+  numpy — adequate quality for locality, no native dependency,
+* 'range'   — contiguous node ranges (for pre-clustered orderings).
+
+On TPU the partition feeds ``parallel/halo.py``: each chip owns one
+part's dst nodes; halo src features arrive by all-to-all over ICI instead
+of the reference's KVStore TCP pulls.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.graph import Graph, _build
+
+
+def random_partition(g: Graph, k: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, k, g.num_nodes()).astype(np.int32)
+
+
+def range_partition(g: Graph, k: int) -> np.ndarray:
+    n = g.num_nodes()
+    return (np.arange(n, dtype=np.int64) * k // n).astype(np.int32)
+
+
+def fennel_partition(g: Graph, k: int, gamma: float = 1.5,
+                     slack: float = 1.1, seed: int = 0,
+                     num_passes: int = 2) -> np.ndarray:
+    """Streaming greedy partitioning: node v goes to the part maximising
+    |neighbors in part| - alpha * gamma/2 * |part|^(gamma-1), capped at
+    ``slack`` x balanced size."""
+    n = g.num_nodes()
+    E = g.num_edges()
+    indptr_in = np.asarray(g.csc_indptr)
+    src = np.asarray(g.src)
+    indptr_out = np.asarray(g.csr_indptr)
+    dst_by_src = np.asarray(g.dst)[np.asarray(g.csr_eids)]
+
+    alpha = E * (k ** (gamma - 1)) / max(n ** gamma, 1)
+    cap = slack * n / k
+    rng = np.random.default_rng(seed)
+    parts = np.full(n, -1, np.int32)
+    sizes = np.zeros(k, np.int64)
+    order = rng.permutation(n)
+    for _ in range(num_passes):
+        for v in order:
+            old = parts[v]
+            if old >= 0:
+                sizes[old] -= 1
+            nbrs = np.concatenate([
+                src[indptr_in[v]:indptr_in[v + 1]],
+                dst_by_src[indptr_out[v]:indptr_out[v + 1]]])
+            score = np.zeros(k)
+            if len(nbrs):
+                pn = parts[nbrs]
+                pn = pn[pn >= 0]
+                if len(pn):
+                    np.add.at(score, pn, 1.0)
+            score -= alpha * gamma / 2.0 * np.power(
+                np.maximum(sizes, 1), gamma - 1)
+            score[sizes >= cap] = -np.inf
+            best = int(np.argmax(score))
+            parts[v] = best
+            sizes[best] += 1
+    return parts
+
+
+def partition(g: Graph, k: int, method: str = "fennel",
+              seed: int = 0) -> np.ndarray:
+    """Node -> part assignment (the METIS_PartGraphKway replacement,
+    reference: src/graph/metis_partition.cc:35)."""
+    if k <= 1:
+        return np.zeros(g.num_nodes(), np.int32)
+    if method == "random":
+        p = random_partition(g, k, seed)
+    elif method == "range":
+        p = range_partition(g, k)
+    elif method == "fennel":
+        p = fennel_partition(g, k, seed=seed)
+    else:
+        raise ValueError(f"unknown partition method {method!r}")
+    s, d = (np.asarray(x) for x in g.edges(order="eid"))
+    cut = int((p[s] != p[d]).sum())
+    # reference logs the edge-cut the same way (metis_partition.cc:50-53)
+    print(f"partition[{method}] k={k}: edge-cut {cut}/{g.num_edges()} "
+          f"({cut / max(g.num_edges(), 1):.3f})")
+    return p
+
+
+@dataclass
+class Partition:
+    """One partition with halo (reference: tools/partition.py:30-52 fields).
+
+    graph:       local subgraph (halo nodes included), local ids
+    node_map:    local id -> original id  (the reference's NID)
+    edge_map:    local id -> original edge id (EID)
+    inner_node:  bool mask — node owned by this part (not halo)
+    inner_edge:  bool mask — edge whose dst is owned
+    part_id:     which part
+    """
+    graph: Graph
+    node_map: np.ndarray
+    edge_map: np.ndarray
+    inner_node: np.ndarray
+    inner_edge: np.ndarray
+    part_id: int
+
+
+def partition_graph_with_halo(g: Graph, parts: np.ndarray,
+                              num_hops: int = 1) -> List[Partition]:
+    """Split by ``parts`` and grow each subgraph by ``num_hops`` of
+    incoming halo (reference: python/dgl/transform.py:551 ->
+    GraphOp::GetSubgraphWithHalo).
+
+    Local node order: owned nodes first (ascending original id), then halo
+    nodes — so device-side dst-sharding is a simple row range.
+    """
+    parts = np.asarray(parts)
+    k = int(parts.max()) + 1 if len(parts) else 1
+    s, d = (np.asarray(x) for x in g.edges(order="eid"))
+    out: List[Partition] = []
+    for p in range(k):
+        owned = np.nonzero(parts == p)[0]
+        keep = np.zeros(g.num_nodes(), bool)
+        keep[owned] = True
+        # edges whose dst is reachable within num_hops of an owned node
+        cur_dst = keep.copy()
+        eids_all = []
+        for _ in range(num_hops):
+            esel = np.nonzero(cur_dst[d])[0]
+            eids_all.append(esel)
+            nxt = np.zeros_like(cur_dst)
+            nxt[s[esel]] = True
+            cur_dst = nxt
+        eids = np.unique(np.concatenate(eids_all)) if eids_all else \
+            np.zeros(0, np.int64)
+        halo_nodes = np.unique(np.concatenate([s[eids], d[eids]])) \
+            if len(eids) else np.zeros(0, np.int64)
+        halo_nodes = halo_nodes[~keep[halo_nodes]]
+        node_map = np.concatenate([owned, halo_nodes]).astype(np.int32)
+        local = np.full(g.num_nodes(), -1, np.int32)
+        local[node_map] = np.arange(len(node_map), dtype=np.int32)
+        sub = _build(local[s[eids]], local[d[eids]],
+                     len(node_map), len(node_map), is_block=False)
+        inner_node = np.zeros(len(node_map), bool)
+        inner_node[:len(owned)] = True
+        inner_edge = parts[d[eids]] == p
+        out.append(Partition(sub, node_map, eids.astype(np.int32),
+                             inner_node, inner_edge, p))
+    return out
+
+
+def save_partitions(path_prefix: str, partitions: List[Partition]) -> None:
+    """Store per-part npz files like the reference tool's per-part .dgl
+    files (tools/partition.py)."""
+    for part in partitions:
+        s, dd = part.graph.edges(order="eid")
+        np.savez_compressed(
+            f"{path_prefix}.part{part.part_id}.npz",
+            src=np.asarray(s), dst=np.asarray(dd),
+            num_nodes=part.graph.num_nodes(),
+            node_map=part.node_map, edge_map=part.edge_map,
+            inner_node=part.inner_node, inner_edge=part.inner_edge)
+
+
+def load_partition(path_prefix: str, part_id: int) -> Partition:
+    z = np.load(f"{path_prefix}.part{part_id}.npz")
+    gph = _build(z["src"], z["dst"], int(z["num_nodes"]),
+                 int(z["num_nodes"]), is_block=False)
+    return Partition(gph, z["node_map"], z["edge_map"], z["inner_node"],
+                     z["inner_edge"], part_id)

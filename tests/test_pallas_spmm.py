@@ -10,11 +10,11 @@ import dgl_hack_tpu as dgl
 from utils import random_graph
 
 
-def _prep(rng, num_nodes=300, num_edges=2000, te=256, chunk_bytes=1 << 18):
+def _prep(rng, num_nodes=300, num_edges=2000, te=256, bc=4, wc=2):
     src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     dst = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     g = dgl.graph((src, dst), num_nodes=num_nodes)
-    gp = dgl.prepare_spmm(g, te=te, chunk_bytes=chunk_bytes)
+    gp = dgl.prepare_spmm(g, te=te, bc=bc, wc=wc)
     return g, gp
 
 
@@ -30,10 +30,9 @@ def test_pallas_copy_u(rng, reducer):
 
 
 def test_pallas_chunked(rng):
-    """Force multiple chunks and check the concatenated result."""
-    g, gp = _prep(rng, num_nodes=1000, num_edges=8000, te=256,
-                  chunk_bytes=1 << 17)
-    assert len(gp.spmm_plan_meta[0][3]) > 1  # multiple fwd chunks
+    """Force multiple chunks and check the overlap-added result."""
+    g, gp = _prep(rng, num_nodes=1000, num_edges=8000, te=256, bc=4, wc=2)
+    assert gp.spmm_plan_meta[0][4] > 1  # multiple fwd chunks
     x = jnp.asarray(rng.normal(size=(1000, 64)).astype(np.float32))
     ref = dgl.gspmm(g, "copy_lhs", "sum", x)
     out = dgl.gspmm(gp, "copy_lhs", "sum", x)
