@@ -8,26 +8,26 @@ removes the scatter from forward AND backward:
 
 * Edges are dst-sorted (the Graph's internal CSC order).  A host-side
   planner packs them into fixed blocks of TE edges, each block confined to
-  one TR-row output window (windows with more than TE edges — hub rows —
-  get several consecutive blocks; empty windows get one zero block so
-  their output tile is written).
+  one TR-row output window (hub windows get several consecutive blocks;
+  empty windows get none — a per-chunk coverage mask keeps their rows at
+  the initial zeros).
 * Kernel: per block, build the (TR, TE) one-hot selection matrix
   S[r, e] = [local_row[e] == r] on the fly in VMEM and accumulate the
   window tile as an MXU matmul S @ m_block.  Consecutive blocks of one
-  window accumulate into the same live output tile (Pallas keeps an output
-  block resident while its index_map target is unchanged).
-* Padded slots carry local_row == TR, matching no row — they vanish with
-  no masking arithmetic.
-* Blocks are grouped into **uniform** chunks (fixed blocks-per-chunk and
-  windows-per-chunk caps) driven by one ``lax.scan``: a single Mosaic
-  kernel compilation, one gather shape, and chunk buffers bounded to one
-  chunk — a full-graph (E, F) message buffer would neither fit nor
-  compile quickly.  Chunk results are overlap-added into the output at
-  dynamic row offsets, which also handles hub windows split across
-  chunks.
-* The messages (x[src] and optional edge weights) are gathered by XLA's
-  native gather engine — measured ~7 ns/row on v5e, the hardware's
-  fine-grained random-access limit — so the Pallas kernel only streams.
+  window accumulate into the same live output tile (Pallas keeps an
+  output block resident while its index_map target is unchanged).
+  Padded slots carry local_row == TR — they match no row and vanish.
+* f32 accuracy on the MXU comes from a manual 2-term bf16 split of the
+  messages (S is exactly representable): two DEFAULT-precision passes give
+  ~2^-16 relative error at 1/3 the cost of Precision.HIGHEST's 6 passes.
+* Blocks are grouped into **uniform** chunks driven by one ``lax.scan``:
+  a single Mosaic compilation, one gather shape, chunk buffers bounded.
+  Chunk results are overlap-added into the output at dynamic row offsets
+  (handles hub windows split across chunks).
+* Exactly ONE hardware gather per edge: the planner precomposes
+  ``src[perm]`` on the host (an int32 index gather costs the same ~7 ns/row
+  as a 512 B feature-row gather — the gather engine is issue-rate-bound,
+  so every avoided indirection is a full gather saved).
 * **Coupled VJP**: dx runs the same kernel over the reverse (src-sorted)
   plan with dout as the node operand; dw is a pure-gather SDDMM — no
   scatter anywhere in the autodiff graph.  This mirrors the reference's
@@ -56,17 +56,19 @@ DEFAULT_WC = 512      # windows per chunk cap
 class SegmentPlan(NamedTuple):
     """Host-built uniform blocking plan for one direction.
 
-    perm      (C, BC*TE) int32  padded position -> edge id (sentinel E)
-    local_row (C, BC*TE) int32  row - window*TR (sentinel TR)
-    window    (C, BC)    int32  chunk-rebased window per block, non-decr.
-    row0      (C,)       int32  output row offset (w0 * TR) per chunk
-    valid     (C,)       int32  valid output rows per chunk ((w1-w0)*TR)
+    gather_idx (C, BC*TE) int32  precomposed node index per slot (pad 0)
+    perm       (C, BC*TE) int32  slot -> edge id (sentinel E; for weights)
+    local_row  (C, BC*TE) int32  row - window*TR (sentinel TR)
+    window     (C, BC)    int32  chunk-rebased window per block, non-decr.
+    row0       (C,)       int32  output row offset (w0 * TR) per chunk
+    cover      (C, WC)    bool   window has blocks in this chunk
     """
+    gather_idx: np.ndarray
     perm: np.ndarray
     local_row: np.ndarray
     window: np.ndarray
     row0: np.ndarray
-    valid: np.ndarray
+    cover: np.ndarray
     num_rows: int
     tr: int
     te: int
@@ -77,96 +79,126 @@ class SegmentPlan(NamedTuple):
         return self.perm.shape[0]
 
     def device_arrays(self) -> Tuple[Array, ...]:
-        return (jnp.asarray(self.perm), jnp.asarray(self.local_row),
-                jnp.asarray(self.window), jnp.asarray(self.row0),
-                jnp.asarray(self.valid))
+        return (jnp.asarray(self.gather_idx), jnp.asarray(self.perm),
+                jnp.asarray(self.local_row), jnp.asarray(self.window),
+                jnp.asarray(self.row0), jnp.asarray(self.cover))
 
     @property
     def static_meta(self):
         return (self.num_rows, self.tr, self.te, self.wc, self.num_chunks)
 
 
-N_PLAN_ARRAYS = 5
+N_PLAN_ARRAYS = 6
 
 
 def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
-                       num_rows: int, tr: int = DEFAULT_TR,
-                       te: int = DEFAULT_TE, bc: int = DEFAULT_BC,
-                       wc: int = DEFAULT_WC) -> SegmentPlan:
-    """Pack row-sorted edges into uniform (window, block, chunk) tiles."""
+                       end_ids: np.ndarray, num_rows: int,
+                       tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
+                       bc: int = DEFAULT_BC, wc: int = DEFAULT_WC
+                       ) -> SegmentPlan:
+    """Pack row-sorted edges into uniform (window, block, chunk) tiles.
+
+    end_ids: (E,) the *other* endpoint per edge in this direction's sorted
+    order — precomposed into gather_idx.
+    """
     indptr = np.asarray(indptr)
     row_sorted = np.asarray(row_sorted)
+    end_ids = np.asarray(end_ids)
     E = row_sorted.shape[0]
     W = max(1, -(-num_rows // tr))
     win_starts = indptr[np.minimum(np.arange(W) * tr, num_rows)].astype(np.int64)
     win_ends = indptr[np.minimum((np.arange(W) + 1) * tr, num_rows)].astype(np.int64)
     counts = win_ends - win_starts
-    blocks_per_win = np.maximum(-(-counts // te), 1)
+    blocks_per_win = -(-counts // te)       # 0 for empty windows
 
-    # global block list
     n_blocks = int(blocks_per_win.sum())
+    if n_blocks == 0:
+        z = np.zeros((0, bc * te), np.int32)
+        return SegmentPlan(z, z, z, np.zeros((0, bc), np.int32),
+                           np.zeros(0, np.int32), np.zeros((0, wc), bool),
+                           num_rows, tr, te, wc)
+
     blk_win = np.repeat(np.arange(W, dtype=np.int64), blocks_per_win)
     in_win_idx = (np.arange(n_blocks, dtype=np.int64)
                   - np.repeat(np.cumsum(blocks_per_win) - blocks_per_win,
                               blocks_per_win))
     blk_start = win_starts[blk_win] + in_win_idx * te
-    blk_count = np.minimum(te, np.maximum(counts[blk_win]
-                                          - in_win_idx * te, 0)).astype(np.int64)
+    blk_count = np.minimum(te, counts[blk_win] - in_win_idx * te
+                           ).astype(np.int64)
 
-    # chunk boundaries: <= bc blocks AND <= wc windows per chunk
+    # per-slot edge positions for every block at once: (n_blocks, te)
+    offs = blk_start[:, None] + np.arange(te, dtype=np.int64)[None, :]
+    slot_ok = np.arange(te, dtype=np.int64)[None, :] < blk_count[:, None]
+    offs_c = np.minimum(offs, E - 1)
+    perm_all = np.where(slot_ok, offs, E).astype(np.int32)
+    gidx_all = np.where(slot_ok, end_ids[offs_c], 0).astype(np.int32)
+    lr_all = np.where(slot_ok,
+                      row_sorted[offs_c].astype(np.int64)
+                      - blk_win[:, None] * tr,
+                      tr).astype(np.int32)
+
+    # chunk boundaries: <= bc blocks AND <= wc window span per chunk
     bounds = [0]
     b0 = 0
     while b0 < n_blocks:
         b1 = min(b0 + bc, n_blocks)
-        # enforce window span
-        while blk_win[b1 - 1] - blk_win[b0] + 1 > wc:
-            # binary-ish shrink: cut at first block exceeding window span
-            lim = blk_win[b0] + wc
-            b1 = int(np.searchsorted(blk_win[b0:b1], lim) + b0)
+        if blk_win[b1 - 1] - blk_win[b0] + 1 > wc:
+            b1 = int(np.searchsorted(blk_win[b0:b1], blk_win[b0] + wc,
+                                     side="left") + b0)
         bounds.append(b1)
         b0 = b1
     C = len(bounds) - 1
 
+    gather_idx = np.zeros((C, bc * te), np.int32)
     perm = np.full((C, bc * te), E, dtype=np.int32)
     local_row = np.full((C, bc * te), tr, dtype=np.int32)
     window = np.zeros((C, bc), dtype=np.int32)
     row0 = np.zeros(C, dtype=np.int32)
-    valid = np.zeros(C, dtype=np.int32)
+    cover = np.zeros((C, wc), bool)
     for c in range(C):
         b0, b1 = bounds[c], bounds[c + 1]
         w0 = int(blk_win[b0])
-        w1 = int(blk_win[b1 - 1]) + 1
         row0[c] = w0 * tr
-        valid[c] = (w1 - w0) * tr
-        window[c, :b1 - b0] = (blk_win[b0:b1] - w0).astype(np.int32)
+        wrel = (blk_win[b0:b1] - w0).astype(np.int32)
+        window[c, :b1 - b0] = wrel
         # padding blocks at the tail map to the chunk's last window: they
         # contribute zero (sentinel local_row) and are never "first"
         window[c, b1 - b0:] = int(blk_win[b1 - 1] - w0)
-        for i in range(b1 - b0):
-            cnt = int(blk_count[b0 + i])
-            if cnt:
-                s = int(blk_start[b0 + i])
-                perm[c, i * te:i * te + cnt] = \
-                    np.arange(s, s + cnt, dtype=np.int32)
-                local_row[c, i * te:i * te + cnt] = \
-                    row_sorted[s:s + cnt].astype(np.int32) \
-                    - int(blk_win[b0 + i]) * tr
-    return SegmentPlan(perm, local_row, window, row0, valid, num_rows,
-                       tr, te, wc)
+        cover[c, wrel] = True
+        gather_idx[c, :(b1 - b0) * te] = gidx_all[b0:b1].reshape(-1)
+        perm[c, :(b1 - b0) * te] = perm_all[b0:b1].reshape(-1)
+        local_row[c, :(b1 - b0) * te] = lr_all[b0:b1].reshape(-1)
+    return SegmentPlan(gather_idx, perm, local_row, window, row0, cover,
+                       num_rows, tr, te, wc)
 
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-def _reduce_kernel(window_ref, lr_ref, m_ref, out_ref, *, tr: int, te: int):
+def _reduce_kernel(window_ref, lr_ref, m_ref, out_ref, *, tr: int, te: int,
+                   mode: str):
     b = pl.program_id(1)
     lr = lr_ref[:]                                       # (TE,) int32
     rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
-    S = (rows == lr[None, :]).astype(m_ref.dtype)        # (TR, TE)
-    # HIGHEST: one-hot rows must sum f32 messages exactly (the default
-    # MXU f32 path rounds operands to bf16 — too lossy for parity)
-    contrib = jnp.dot(S, m_ref[:], preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    m = m_ref[:]
+
+    if mode == "f32x2":
+        # f32 ~= hi + lo with both terms exactly representable in bf16:
+        # two DEFAULT MXU passes recover ~2^-16 relative accuracy
+        S = (rows == lr[None, :]).astype(jnp.bfloat16)
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = (
+            jnp.dot(S, hi, preferred_element_type=jnp.float32)
+            + jnp.dot(S, lo, preferred_element_type=jnp.float32))
+    elif mode == "highest":
+        S = (rows == lr[None, :]).astype(m.dtype)
+        contrib = jnp.dot(S, m, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    else:  # 'fast' — single bf16 pass
+        S = (rows == lr[None, :]).astype(jnp.bfloat16)
+        contrib = jnp.dot(S, m.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
 
     prev = window_ref[jnp.maximum(b - 1, 0)]
     is_first = jnp.logical_or(b == 0, window_ref[b] != prev)
@@ -193,7 +225,8 @@ def _pick_ft(F: int) -> int:
 
 
 def _reduce_call(m: Array, local_row: Array, window: Array, *,
-                 tr: int, te: int, num_windows: int, num_blocks: int) -> Array:
+                 tr: int, te: int, num_windows: int, num_blocks: int,
+                 mode: str = "f32x2") -> Array:
     F = m.shape[1]
     ft = _pick_ft(F)
     grid = pltpu.PrefetchScalarGridSpec(
@@ -206,9 +239,9 @@ def _reduce_call(m: Array, local_row: Array, window: Array, *,
         out_specs=pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)),
     )
     return pl.pallas_call(
-        functools.partial(_reduce_kernel, tr=tr, te=te),
+        functools.partial(_reduce_kernel, tr=tr, te=te, mode=mode),
         grid_spec=grid,
-        out_shape=jax.ShapeDtypeStruct((num_windows * tr, F), m.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_windows * tr, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_interpret(),
@@ -218,42 +251,34 @@ def _reduce_call(m: Array, local_row: Array, window: Array, *,
 # ---------------------------------------------------------------------------
 # direction driver: scan uniform chunks, overlap-add into the output
 # ---------------------------------------------------------------------------
-def _edge_operand(edge_ids: Array, E: int, node_vals: Array,
-                  end_ids: Array, weights: Optional[Array]) -> Array:
-    """m[p] = node_vals[end_ids[edge_ids[p]]] (* weights[edge_ids[p]]).
-    Sentinel slots are clipped — killed by local_row == TR in-kernel."""
-    eid = jnp.minimum(edge_ids, E - 1)
-    m = node_vals[end_ids[eid]]
-    if weights is not None:
-        w = weights[eid]
-        if w.ndim == 1:
-            w = w[:, None]
-        m = m * w
-    return m
-
-
 def _run_direction(plan_arrays: Sequence[Array], static_meta,
-                   node_vals: Array, end_ids: Array,
-                   weights: Optional[Array], E: int) -> Array:
+                   node_vals: Array, weights: Optional[Array], E: int,
+                   mode: str = "f32x2") -> Array:
     """Reduce all chunks via one scanned Pallas call; returns
     (num_rows, F) float32."""
     num_rows, tr, te, wc, C = static_meta
-    perm_s, lr_s, win_s, row0_s, valid_s = plan_arrays
+    gidx_s, perm_s, lr_s, win_s, row0_s, cover_s = plan_arrays
     F = node_vals.shape[1]
-    bc = win_s.shape[1]
     out_len = wc * tr
+    if C == 0:
+        return jnp.zeros((num_rows, F), jnp.float32)
+    bc = win_s.shape[1]
 
     pad_rows = ((num_rows + tr - 1) // tr) * tr + out_len
     init = jnp.zeros((pad_rows, F), jnp.float32)
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (out_len, 1), 0)
-
     def body(acc, xs):
-        perm, lr, win, row0, valid = xs
-        m = _edge_operand(perm, E, node_vals, end_ids, weights)
+        gidx, perm, lr, win, row0, cover = xs
+        m = node_vals[gidx]
+        if weights is not None:
+            w = weights[jnp.minimum(perm, E - 1)]
+            if w.ndim == 1:
+                w = w[:, None]
+            m = m * w
         out = _reduce_call(m, lr, win, tr=tr, te=te, num_windows=wc,
-                           num_blocks=bc)
-        out = jnp.where(row_iota < valid, out, 0.0)
+                           num_blocks=bc, mode=mode)
+        rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
+        out = jnp.where(rowmask[:, None], out, 0.0)
         cur = jax.lax.dynamic_slice(acc, (row0, 0), (out_len, F))
         acc = jax.lax.dynamic_update_slice(acc, cur + out, (row0, 0))
         return acc, None
@@ -268,27 +293,28 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
 # ---------------------------------------------------------------------------
 # public fused op with coupled custom VJP
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _gspmm_fused(meta_fwd, meta_rev, has_w, x, w, src, dst, *plan_arrays):
-    out = _run_direction(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, x, src,
-                         w if has_w else None, src.shape[0])
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _gspmm_fused(meta_fwd, meta_rev, has_w, mode, x, w, src, dst,
+                 *plan_arrays):
+    out = _run_direction(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, x,
+                         w if has_w else None, src.shape[0], mode)
     return out
 
 
-def _gspmm_fused_fwd(meta_fwd, meta_rev, has_w, x, w, src, dst,
+def _gspmm_fused_fwd(meta_fwd, meta_rev, has_w, mode, x, w, src, dst,
                      *plan_arrays):
-    out = _gspmm_fused(meta_fwd, meta_rev, has_w, x, w, src, dst,
+    out = _gspmm_fused(meta_fwd, meta_rev, has_w, mode, x, w, src, dst,
                        *plan_arrays)
     return out, (x, w, src, dst, plan_arrays)
 
 
-def _gspmm_fused_bwd(meta_fwd, meta_rev, has_w, res, g):
+def _gspmm_fused_bwd(meta_fwd, meta_rev, has_w, mode, res, g):
     x, w, src, dst, plan_arrays = res
     rev_arrays = plan_arrays[N_PLAN_ARRAYS:]
     E = src.shape[0]
     # dx[u] = sum_{e=(u,v)} g[v] * w[e] — reduce over the src-major plan
-    dx = _run_direction(rev_arrays, meta_rev, g, dst,
-                        w if has_w else None, E)
+    dx = _run_direction(rev_arrays, meta_rev, g,
+                        w if has_w else None, E, mode)
     dx = dx.astype(x.dtype)
     if has_w:
         # dw[e] = <x[src_e], g[dst_e]> (or elementwise for (E, F) weights)
@@ -308,15 +334,11 @@ _gspmm_fused.defvjp(_gspmm_fused_fwd, _gspmm_fused_bwd)
 
 # jit so XLA buffer assignment (not eager async dispatch) owns chunk
 # buffer lifetimes
-_gspmm_fused_jit = jax.jit(_gspmm_fused, static_argnums=(0, 1, 2))
+_gspmm_fused_jit = jax.jit(_gspmm_fused, static_argnums=(0, 1, 2, 3))
 
 
 class GspmmPlan(NamedTuple):
-    """Paired dst-major (forward) and src-major (backward) plans.
-
-    The reverse plan's perm is pre-composed with the CSR edge-id
-    permutation so both directions index the same internal edge arrays.
-    """
+    """Paired dst-major (forward) and src-major (backward) plans."""
     fwd: SegmentPlan
     rev: SegmentPlan
 
@@ -325,16 +347,23 @@ class GspmmPlan(NamedTuple):
         return (self.fwd.static_meta, self.rev.static_meta)
 
 
-def build_gspmm_plan(csc_indptr, dst_sorted, csr_indptr, src_sorted_eids,
-                     src_of_edges, num_src, num_dst, tr: int = DEFAULT_TR,
-                     te: int = DEFAULT_TE, bc: int = DEFAULT_BC,
-                     wc: int = DEFAULT_WC) -> GspmmPlan:
-    """Build both direction plans from the Graph's CSC/CSR arrays."""
-    fwd = build_segment_plan(csc_indptr, dst_sorted, num_dst, tr, te, bc, wc)
+def build_gspmm_plan(csc_indptr, dst_sorted, src_of_edges, csr_indptr,
+                     src_sorted_eids, dst_of_edges, num_src, num_dst,
+                     tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
+                     bc: int = DEFAULT_BC, wc: int = DEFAULT_WC) -> GspmmPlan:
+    """Build both direction plans from the Graph's CSC/CSR arrays.
+
+    Forward gathers x by src; reverse gathers dout by dst.  Both perms
+    are composed down to internal edge ids so weights index one array.
+    """
+    fwd = build_segment_plan(csc_indptr, dst_sorted, src_of_edges,
+                             num_dst, tr, te, bc, wc)
     eids = np.asarray(src_sorted_eids)
     src_sorted = np.asarray(src_of_edges)[eids]
-    rev = build_segment_plan(csr_indptr, src_sorted, num_src, tr, te, bc, wc)
-    # compose: rev perm positions index src-sorted order -> internal ids
+    dst_in_src_order = np.asarray(dst_of_edges)[eids]
+    rev = build_segment_plan(csr_indptr, src_sorted, dst_in_src_order,
+                             num_src, tr, te, bc, wc)
+    # compose rev perm: positions index src-sorted order -> internal ids
     E = src_sorted.shape[0]
     comp = np.where(rev.perm < E, eids[np.minimum(rev.perm, E - 1)], E)
     rev = rev._replace(perm=comp.astype(np.int32))
@@ -344,7 +373,8 @@ def build_gspmm_plan(csc_indptr, dst_sorted, csr_indptr, src_sorted_eids,
 def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
                  dst: Array, x: Array, edge_weight: Optional[Array] = None,
                  reduce_op: str = "sum",
-                 in_degrees: Optional[Array] = None) -> Array:
+                 in_degrees: Optional[Array] = None,
+                 mode: str = "f32x2") -> Array:
     """out[v] = reduce_{e=(u,v)} x[u] (* w[e]); reduce in {sum, mean}.
 
     plan_meta = GspmmPlan.static_meta; plan_arrays = fwd.device_arrays()
@@ -357,7 +387,7 @@ def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
     w = edge_weight
     if w is not None and w.ndim > 2:
         w = w.reshape(w.shape[0], -1)
-    out = _gspmm_fused_jit(meta_fwd, meta_rev, w is not None, x2,
+    out = _gspmm_fused_jit(meta_fwd, meta_rev, w is not None, mode, x2,
                            w if w is not None else jnp.zeros((0,), x.dtype),
                            src, dst, *plan_arrays)
     out = out.astype(x.dtype)
@@ -378,9 +408,9 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
     if g.csr_indptr is None or g.csr_eids is None:
         raise ValueError("prepare_spmm requires the graph's CSR format")
     plan = build_gspmm_plan(
-        np.asarray(g.csc_indptr), np.asarray(g.dst),
+        np.asarray(g.csc_indptr), np.asarray(g.dst), np.asarray(g.src),
         np.asarray(g.csr_indptr), np.asarray(g.csr_eids),
-        np.asarray(g.src), g.num_src_nodes, g.num_dst_nodes,
+        np.asarray(g.dst), g.num_src_nodes, g.num_dst_nodes,
         tr=tr, te=te, bc=bc, wc=wc)
     arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
     return g.replace(spmm_plan_arrays=arrays,
