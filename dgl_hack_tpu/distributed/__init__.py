@@ -1,0 +1,3 @@
+from .prefetch import ThreadedPrefetcher, prefetch_to_device  # noqa: F401
+from .bootstrap import initialize_from_env, read_ip_config  # noqa: F401
+from .feature_store import FeatureStore  # noqa: F401

@@ -1,0 +1,59 @@
+"""Host-resident feature store with per-batch device pull.
+
+Reference: the shared-memory graph store (contrib/graph_store.py:270
+SharedMemoryStoreServer — whole-graph ndata in POSIX shm, workers attach)
+and the KVStore pull path for features too big for device memory
+(dis_kvstore.py, --mix_cpu_gpu in DGL-KE).  TPU version: features stay in
+host RAM (optionally memory-mapped npy, the shm analogue — multiple
+processes can map the same file); minibatch rows are gathered on host and
+device_put per batch, overlapped by the prefetcher.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+class FeatureStore:
+    """dict of host arrays with row-pull API."""
+
+    def __init__(self, arrays: Optional[Dict[str, np.ndarray]] = None):
+        self._arrays: Dict[str, np.ndarray] = dict(arrays or {})
+
+    @classmethod
+    def from_mmap(cls, paths: Dict[str, str]) -> "FeatureStore":
+        """Memory-map .npy files — the shared-memory multi-process
+        analogue (several worker processes map the same pages)."""
+        return cls({k: np.load(p, mmap_mode="r") for k, p in paths.items()})
+
+    def add(self, name: str, arr: np.ndarray) -> None:
+        self._arrays[name] = arr
+
+    def save(self, prefix: str) -> Dict[str, str]:
+        paths = {}
+        for k, v in self._arrays.items():
+            paths[k] = f"{prefix}.{k}.npy"
+            np.save(paths[k], np.asarray(v))
+        return paths
+
+    def pull(self, name: str, rows: np.ndarray, to_device: bool = True):
+        """Gather rows on host; optionally device_put (the KVClient.pull
+        successor — a local gather instead of partition-book routing)."""
+        out = np.asarray(self._arrays[name])[np.asarray(rows)]
+        return jax.device_put(out) if to_device else out
+
+    def push_add(self, name: str, rows: np.ndarray, values) -> None:
+        """Sparse-row accumulate (KVClient.push 'sum' handler analogue,
+        reference: dis_kvstore.py:956)."""
+        arr = self._arrays[name]
+        if not arr.flags.writeable:
+            raise ValueError(f"feature {name!r} is read-only (mmap'ed)")
+        np.add.at(arr, np.asarray(rows), np.asarray(values))
+
+    def __contains__(self, name):
+        return name in self._arrays
+
+    def __getitem__(self, name):
+        return self._arrays[name]

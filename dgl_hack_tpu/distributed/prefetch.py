@@ -1,0 +1,61 @@
+"""Sampler -> device prefetch pipeline.
+
+Reference: the prefetching sampler wrappers (python/dgl/contrib/sampling/
+sampler.py:44-133 ThreadPrefetchingWrapper) and the remote sampler
+machines (contrib/sampling/dis_sampler.py SamplerSender/Receiver over TCP).
+On TPU the sampler stays host-side; this pipeline overlaps host sampling
++ H2D transfer with device compute using a background thread — the
+single-machine successor of the sampler/trainer process split.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+
+
+class ThreadedPrefetcher:
+    """Wrap any iterator; a worker thread keeps ``capacity`` batches ready,
+    optionally device_put-ing them ahead of use."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable: Iterable, capacity: int = 2,
+                 device_put: bool = True):
+        self._iterable = iterable
+        self._capacity = capacity
+        self._device_put = device_put
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self._capacity)
+        err = []
+
+        def worker():
+            try:
+                for item in self._iterable:
+                    if self._device_put:
+                        item = jax.tree_util.tree_map(
+                            lambda a: jax.device_put(a)
+                            if hasattr(a, "shape") else a, item)
+                    q.put(item)
+            except Exception as e:      # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(self._SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def prefetch_to_device(loader: Iterable, capacity: int = 2):
+    """Convenience wrapper mirroring the reference's usage pattern."""
+    return ThreadedPrefetcher(loader, capacity=capacity, device_put=True)

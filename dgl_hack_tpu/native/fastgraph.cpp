@@ -1,0 +1,130 @@
+// Native host-side graph kernels (C++/OpenMP) for the TPU framework.
+//
+// TPU-native counterpart of the reference's CPU sampling/compaction core:
+//  * rowwise neighbor sampling    (reference: src/array/cpu/
+//    rowwise_sampling.cc + rowwise_pick.h, OpenMP over seed rows)
+//  * to_block bipartite compaction (reference: src/graph/transform/
+//    to_bipartite.cc:31, IdHashMap-based, CPU-only there too)
+//
+// The device computes; the host feeds it.  These loops sit on the
+// sampler->device critical path of minibatch training, so they are native
+// exactly where the reference is native.  Exposed via a tiny C ABI and
+// loaded with ctypes (no pybind11 dependency).
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Sample up to `fanout` in-edges for each seed without replacement.
+// indptr (n+1), src (E): CSC arrays.  out_pos must hold seeds*fanout
+// entries; out_counts holds per-seed sample counts.  Returns total edges.
+int64_t rowwise_sample(const int32_t* indptr, const int32_t* /*src*/,
+                       const int32_t* seeds, int64_t num_seeds,
+                       int32_t fanout, uint64_t seed,
+                       int64_t* out_pos, int32_t* out_counts) {
+#pragma omp parallel
+  {
+#if defined(_OPENMP)
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + tid);
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t i = 0; i < num_seeds; ++i) {
+      const int64_t lo = indptr[seeds[i]];
+      const int64_t hi = indptr[seeds[i] + 1];
+      const int64_t deg = hi - lo;
+      int64_t* out = out_pos + i * fanout;
+      if (deg <= fanout) {
+        for (int64_t j = 0; j < deg; ++j) out[j] = lo + j;
+        out_counts[i] = static_cast<int32_t>(deg);
+      } else {
+        // reservoir sampling (reference rowwise_pick.h uses the same
+        // pattern for the without-replacement case)
+        std::vector<int64_t> res(fanout);
+        for (int32_t j = 0; j < fanout; ++j) res[j] = lo + j;
+        for (int64_t j = fanout; j < deg; ++j) {
+          const uint64_t k = rng() % static_cast<uint64_t>(j + 1);
+          if (k < static_cast<uint64_t>(fanout)) res[k] = lo + j;
+        }
+        std::memcpy(out, res.data(), sizeof(int64_t) * fanout);
+        out_counts[i] = fanout;
+      }
+    }
+  }
+  int64_t total = 0;
+  for (int64_t i = 0; i < num_seeds; ++i) total += out_counts[i];
+  return total;
+}
+
+// Sample `fanout` in-edges WITH replacement (always exactly fanout for
+// seeds with degree > 0; zero-degree seeds get count 0).
+int64_t rowwise_sample_replace(const int32_t* indptr, const int32_t* seeds,
+                               int64_t num_seeds, int32_t fanout,
+                               uint64_t seed, int64_t* out_pos,
+                               int32_t* out_counts) {
+#pragma omp parallel
+  {
+#if defined(_OPENMP)
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + tid);
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t i = 0; i < num_seeds; ++i) {
+      const int64_t lo = indptr[seeds[i]];
+      const int64_t deg = indptr[seeds[i] + 1] - lo;
+      int64_t* out = out_pos + i * fanout;
+      if (deg == 0) {
+        out_counts[i] = 0;
+        continue;
+      }
+      for (int32_t j = 0; j < fanout; ++j)
+        out[j] = lo + static_cast<int64_t>(rng() % (uint64_t)deg);
+      out_counts[i] = fanout;
+    }
+  }
+  int64_t total = 0;
+  for (int64_t i = 0; i < num_seeds; ++i) total += out_counts[i];
+  return total;
+}
+
+// Relabel frontier endpoints into block-local ids.  dst_nodes (n_dst) are
+// assigned 0..n_dst-1; unseen src endpoints get fresh ids after them.
+// mapping: scratch array of size num_nodes initialised to -1 (int64).
+// Returns the number of src nodes (n_dst + new).
+int64_t compact_block(const int32_t* src, const int32_t* dst, int64_t E,
+                      const int32_t* dst_nodes, int64_t n_dst,
+                      int64_t* mapping, int32_t* out_src, int32_t* out_dst,
+                      int32_t* out_src_ids) {
+  for (int64_t i = 0; i < n_dst; ++i) {
+    mapping[dst_nodes[i]] = i;
+    out_src_ids[i] = dst_nodes[i];
+  }
+  int64_t next_id = n_dst;
+  for (int64_t e = 0; e < E; ++e) {
+    const int32_t u = src[e];
+    if (mapping[u] < 0) {
+      mapping[u] = next_id;
+      out_src_ids[next_id] = u;
+      ++next_id;
+    }
+    out_src[e] = static_cast<int32_t>(mapping[u]);
+    out_dst[e] = static_cast<int32_t>(mapping[dst[e]]);
+  }
+  // reset mapping for reuse
+  for (int64_t i = 0; i < next_id; ++i) mapping[out_src_ids[i]] = -1;
+  return next_id;
+}
+
+}  // extern "C"

@@ -58,7 +58,7 @@ class SegmentPlan(NamedTuple):
 
     gather_idx (C, BC*TE) int32  precomposed node index per slot (pad 0)
     perm       (C, BC*TE) int32  slot -> edge id (sentinel E; for weights)
-    local_row  (C, BC*TE) int32  row - window*TR (sentinel TR)
+    local_row  (C, BC, TE) int32 row - window*TR (sentinel TR)
     window     (C, BC)    int32  chunk-rebased window per block, non-decr.
     row0       (C,)       int32  output row offset (w0 * TR) per chunk
     cover      (C, WC)    bool   window has blocks in this chunk
@@ -112,9 +112,11 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
     blocks_per_win = -(-counts // te)       # 0 for empty windows
 
     n_blocks = int(blocks_per_win.sum())
+    assert bc % 8 == 0, "blocks-per-chunk must be a multiple of 8"
     if n_blocks == 0:
         z = np.zeros((0, bc * te), np.int32)
-        return SegmentPlan(z, z, z, np.zeros((0, bc), np.int32),
+        return SegmentPlan(z, z, np.zeros((0, bc, te), np.int32),
+                           np.zeros((0, bc), np.int32),
                            np.zeros(0, np.int32), np.zeros((0, wc), bool),
                            num_rows, tr, te, wc)
 
@@ -151,7 +153,7 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
 
     gather_idx = np.zeros((C, bc * te), np.int32)
     perm = np.full((C, bc * te), E, dtype=np.int32)
-    local_row = np.full((C, bc * te), tr, dtype=np.int32)
+    local_row = np.full((C, bc, te), tr, dtype=np.int32)
     window = np.zeros((C, bc), dtype=np.int32)
     row0 = np.zeros(C, dtype=np.int32)
     cover = np.zeros((C, wc), bool)
@@ -167,7 +169,7 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
         cover[c, wrel] = True
         gather_idx[c, :(b1 - b0) * te] = gidx_all[b0:b1].reshape(-1)
         perm[c, :(b1 - b0) * te] = perm_all[b0:b1].reshape(-1)
-        local_row[c, :(b1 - b0) * te] = lr_all[b0:b1].reshape(-1)
+        local_row[c, :b1 - b0] = lr_all[b0:b1]
     return SegmentPlan(gather_idx, perm, local_row, window, row0, cover,
                        num_rows, tr, te, wc)
 
@@ -178,7 +180,9 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
 def _reduce_kernel(window_ref, lr_ref, m_ref, out_ref, *, tr: int, te: int,
                    mode: str):
     b = pl.program_id(1)
-    lr = lr_ref[:]                                       # (TE,) int32
+    # lr block is (8, TE) — 8 consecutive blocks' rows share one fetch
+    # (2-D int32 tiling allows TE < 1024, unlike 1-D's forced 1024 tile)
+    lr = lr_ref[jax.lax.rem(b, 8), :]                    # (TE,) int32
     rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
     m = m_ref[:]
 
@@ -233,7 +237,7 @@ def _reduce_call(m: Array, local_row: Array, window: Array, *,
         num_scalar_prefetch=1,
         grid=(max(1, F // ft), num_blocks),
         in_specs=[
-            pl.BlockSpec((te,), lambda f, b, win: (b,)),
+            pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)),
             pl.BlockSpec((te, ft), lambda f, b, win: (b, f)),
         ],
         out_specs=pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)),

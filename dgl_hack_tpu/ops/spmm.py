@@ -32,6 +32,9 @@ REDUCERS = ("sum", "mean", "max", "min", "prod")
 
 def _pallas_eligible(g, op, reduce_op, lhs_data, rhs_data, lhs_target,
                      rhs_target) -> bool:
+    from ..utils.env import get_config
+    if get_config().disable_pallas:
+        return False
     if getattr(g, "spmm_plan_arrays", None) is None or g.edge_mask is not None:
         return False
     if lhs_target != "u" or op not in ("copy_lhs", "mul"):
@@ -77,8 +80,10 @@ def gspmm(g, op: str, reduce_op: str,
                     w, (w.shape[0],) + jnp.broadcast_shapes(
                         w.shape[1:], lhs_data.shape[1:]))
         deg = g.in_degrees() if reduce_op == "mean" else None
+        from ..utils.env import get_config
         return gspmm_pallas(g.spmm_plan_meta, g.spmm_plan_arrays, g.src,
-                            g.dst, lhs_data, w, reduce_op, deg)
+                            g.dst, lhs_data, w, reduce_op, deg,
+                            mode=get_config().spmm_mode)
     lhs = None if op == "copy_rhs" else gather_edge_operand(g, lhs_data, lhs_target)
     rhs = None if op == "copy_lhs" else gather_edge_operand(g, rhs_data, rhs_target)
     msg = apply_binary(op, lhs, rhs)

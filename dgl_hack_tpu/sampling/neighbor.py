@@ -56,6 +56,22 @@ def sample_neighbors(g: Graph, nodes: Sequence[int], fanout: int,
     starts = csc.indptr[nodes].astype(np.int64)
     degs = (csc.indptr[nodes + 1] - csc.indptr[nodes]).astype(np.int64)
 
+    if fanout >= 0 and prob is None:
+        # native OpenMP sampler (reference: src/array/cpu/
+        # rowwise_sampling.cc); numpy fallback below
+        from ..native import rowwise_sample_native
+        res = rowwise_sample_native(csc.indptr, csc.src, nodes, fanout,
+                                    replace, int(rng.integers(1 << 62)))
+        if res is not None:
+            pos, counts = res
+            dst_sel = np.repeat(nodes, counts)
+            src_sel = csc.src[pos]
+            eids = csc.eid[pos]
+            frontier = _build(src_sel.astype(np.int32),
+                              dst_sel.astype(np.int32), csc.num_src,
+                              csc.num_dst, is_block=False, build_csr=False)
+            return frontier, eids.astype(np.int32)
+
     if fanout < 0:          # take all in-edges
         pos = np.concatenate([np.arange(s, s + c)
                               for s, c in zip(starts, degs)]) \

@@ -10,7 +10,7 @@ import dgl_hack_tpu as dgl
 from utils import random_graph
 
 
-def _prep(rng, num_nodes=300, num_edges=2000, te=256, bc=4, wc=2):
+def _prep(rng, num_nodes=300, num_edges=2000, te=256, bc=8, wc=2):
     src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     dst = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     g = dgl.graph((src, dst), num_nodes=num_nodes)
@@ -31,7 +31,7 @@ def test_pallas_copy_u(rng, reducer):
 
 def test_pallas_chunked(rng):
     """Force multiple chunks and check the overlap-added result."""
-    g, gp = _prep(rng, num_nodes=1000, num_edges=8000, te=256, bc=4, wc=2)
+    g, gp = _prep(rng, num_nodes=1000, num_edges=8000, te=256, bc=8, wc=2)
     assert gp.spmm_plan_meta[0][4] > 1  # multiple fwd chunks
     x = jnp.asarray(rng.normal(size=(1000, 64)).astype(np.float32))
     ref = dgl.gspmm(g, "copy_lhs", "sum", x)
@@ -66,7 +66,7 @@ def test_pallas_gat_shape_broadcast(rng):
 
 def test_pallas_grad(rng):
     """Coupled VJP: gradients wrt x and w match the reference path."""
-    g, gp = _prep(rng, num_nodes=120, num_edges=700, te=256)
+    g, gp = _prep(rng, num_nodes=120, num_edges=700, te=256, bc=8)
     E = g.num_edges()
     x = jnp.asarray(rng.normal(size=(120, 32)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(E, 1)).astype(np.float32))
