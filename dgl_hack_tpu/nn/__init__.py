@@ -8,5 +8,8 @@ from .glob import (  # noqa: F401
     SumPooling, AvgPooling, MaxPooling, SortPooling,
     GlobalAttentionPooling, Set2Set,
 )
+from .conv_extra import (  # noqa: F401
+    GMMConv, DenseSAGEConv, DenseChebConv, KNNGraph, SegmentedKNNGraph,
+)
 from .hetero import HeteroGraphConv  # noqa: F401
 from ..ops.edge_softmax import edge_softmax  # noqa: F401

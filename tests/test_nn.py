@@ -149,3 +149,41 @@ def test_gatconv_bipartite(rng):
                         (jnp.asarray(xs), jnp.asarray(xd)))
     out = layer.apply(params, g, (jnp.asarray(xs), jnp.asarray(xd)))
     assert out.shape == (6, 3, 4)
+
+
+def test_gmm_conv(rng):
+    g, src, dst = random_graph(rng, num_edges=50)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    pseudo = rng.normal(size=(50, 2)).astype(np.float32)
+    layer = gnn.GMMConv(out_feats=4, dim=2, n_kernels=3)
+    params = layer.init(jax.random.PRNGKey(0), g, jnp.asarray(x),
+                        jnp.asarray(pseudo))
+    out = layer.apply(params, g, jnp.asarray(x), jnp.asarray(pseudo))
+    assert out.shape == (n, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dense_layers_match_sparse(rng):
+    """DenseGraphConv/DenseSAGEConv vs the sparse path on the same graph."""
+    g, src, dst = random_graph(rng, num_edges=40)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    adj = np.zeros((n, n), np.float32)
+    for s, d in zip(src, dst):
+        adj[d, s] += 1
+    dense = gnn.DenseGraphConv(out_feats=4)
+    p1 = dense.init(jax.random.PRNGKey(0), jnp.asarray(adj), jnp.asarray(x))
+    sparse = gnn.GraphConv(out_feats=4)
+    out_d = dense.apply(p1, jnp.asarray(adj), jnp.asarray(x))
+    out_s = sparse.apply(
+        {"params": {"weight": p1["params"]["weight"],
+                    "bias": p1["params"]["bias"]}}, g, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_knn_factory(rng):
+    x = rng.normal(size=(30, 3)).astype(np.float32)
+    kg = gnn.KNNGraph(k=5)(x)
+    np.testing.assert_array_equal(np.asarray(kg.in_degrees()), 5)
