@@ -99,10 +99,15 @@ def synthetic_reddit(seed: int = 0,
                      num_nodes: int = 232965) -> NodeClassificationDataset:
     """Reddit-scale stand-in (232,965 nodes / 114M edges downsampled to
     ~23M for memory; reference: python/dgl/data/reddit.py)."""
+    # split sizes scale with the node count (full-size: 3000/cls train,
+    # 20k val, 50k test like the real Reddit split)
+    tpc = max(min(3000, num_nodes // (41 * 3)), 5)
+    nval = max(num_nodes // 12, 50)
+    ntest = max(num_nodes // 5, 100)
     return planted_partition(num_nodes, 41, 602, avg_degree=50.0,
                              homophily=0.8, feat_noise=1.5, seed=seed,
-                             train_per_class=3000, num_val=20000,
-                             num_test=50000, name="reddit-synth")
+                             train_per_class=tpc, num_val=nval,
+                             num_test=ntest, name="reddit-synth")
 
 
 def random_power_law_graph(num_nodes: int, avg_degree: float = 16.0,
