@@ -20,7 +20,7 @@ from .core import transform  # noqa: F401
 from .core.transform import (  # noqa: F401
     khop_graph, line_graph, to_bidirected, add_self_loop, remove_self_loop,
     to_simple, remove_edges, node_subgraph, edge_subgraph, in_subgraph,
-    out_subgraph, compact_graphs, to_block, knn_graph,
+    out_subgraph, compact_graphs, to_block, knn_graph, reorder_graph,
 )
 from .core import traversal, propagate  # noqa: F401
 from .ops.spmm import gspmm  # noqa: F401
@@ -48,7 +48,7 @@ __all__ = [
     "khop_graph", "line_graph", "to_bidirected", "add_self_loop",
     "remove_self_loop", "to_simple", "remove_edges", "node_subgraph",
     "edge_subgraph", "in_subgraph", "out_subgraph", "compact_graphs",
-    "to_block", "knn_graph",
+    "to_block", "knn_graph", "reorder_graph",
     "sum_nodes", "mean_nodes", "max_nodes", "sum_edges", "mean_edges",
     "max_edges", "softmax_nodes", "softmax_edges", "broadcast_nodes",
     "broadcast_edges", "topk_nodes",

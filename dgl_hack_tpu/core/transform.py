@@ -264,3 +264,30 @@ def knn_graph(x: np.ndarray, k: int) -> Graph:
     dst = np.repeat(np.arange(n, dtype=np.int32), k)
     src = nbrs.reshape(-1).astype(np.int32)
     return _build(src, dst, n, n, is_block=False)
+
+
+def reorder_graph(g: Graph, method: str = "degree"):
+    """Relabel nodes to improve SpMM locality / kernel-plan density.
+
+    methods: 'degree' (in-degree descending — clusters nonempty rows so
+    the Pallas plan's windows are dense, see KERNELS.md), 'random'.
+    Returns (new_graph, orig_ids) with orig_ids[new_id] = old_id, so
+    features/labels follow via ``x_new = x[orig_ids]``.
+
+    Reference analogue: DGL's reorder_graph / the locality experiments
+    behind the fork's NbAccess kernels
+    (src/kernel/cuda/binary_reduce_impl.cu:445-778).
+    """
+    n = g.num_nodes()
+    if method == "degree":
+        deg = np.asarray(g.in_degrees())
+        orig_ids = np.argsort(-deg, kind="stable").astype(np.int32)
+    elif method == "random":
+        orig_ids = np.random.default_rng(0).permutation(n).astype(np.int32)
+    else:
+        raise ValueError(method)
+    new_id = np.empty(n, np.int32)
+    new_id[orig_ids] = np.arange(n, dtype=np.int32)
+    s, d = _edges_np(g)
+    g2 = _build(new_id[s], new_id[d], n, n, is_block=False)
+    return g2, orig_ids

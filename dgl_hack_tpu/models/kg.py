@@ -180,6 +180,41 @@ def rotate_score(gamma: float, emb_init: float) -> ScoreFunction:
     return ScoreFunction(pos, neg_head, neg_tail)
 
 
+def transr_score(gamma: float, entity_dim: int,
+                 relation_dim: int) -> ScoreFunction:
+    """TransR (reference: score_fun.py TransRScore): entities projected
+    into the relation space by a per-relation matrix before the TransE
+    distance.  The projection matrices live in the 'projection' parameter
+    table (the reference's projection_emb ExternalEmbedding)."""
+    # NOTE: callers pass the flattened projection alongside r as
+    # r = concat([r_vec (dr,), proj (de*dr,)]) so the ScoreFunction
+    # signature stays uniform.
+    dr, de = relation_dim, entity_dim
+
+    def split_r(r):
+        return r[..., :dr], r[..., dr:].reshape(r.shape[:-1] + (de, dr))
+
+    def pos(h, r, t):
+        rv, pr = split_r(r)
+        hp = jnp.einsum("...e,...ed->...d", h, pr)
+        tp = jnp.einsum("...e,...ed->...d", t, pr)
+        return gamma - jnp.abs(hp + rv - tp).sum(-1)
+
+    def neg_tail(h, r, t_neg):
+        rv, pr = split_r(r)                          # (C,S,dr),(C,S,de,dr)
+        hp = jnp.einsum("cse,csed->csd", h, pr) + rv
+        tp = jnp.einsum("cne,csed->csnd", t_neg, pr)
+        return gamma - jnp.abs(hp[:, :, None, :] - tp).sum(-1)
+
+    def neg_head(t, r, h_neg):
+        rv, pr = split_r(r)
+        tp = jnp.einsum("cse,csed->csd", t, pr) - rv
+        hp = jnp.einsum("cne,csed->csnd", h_neg, pr)
+        return gamma - jnp.abs(tp[:, :, None, :] - hp).sum(-1)
+
+    return ScoreFunction(pos, neg_head, neg_tail)
+
+
 SCORE_FUNCS = {
     "TransE": lambda args: transe_score(args["gamma"], "l2"),
     "TransE_l1": lambda args: transe_score(args["gamma"], "l1"),
@@ -189,6 +224,8 @@ SCORE_FUNCS = {
     "RESCAL": lambda args: rescal_score(args["hidden_dim"],
                                         args["hidden_dim"] ** 2),
     "RotatE": lambda args: rotate_score(args["gamma"], args["emb_init"]),
+    "TransR": lambda args: transr_score(args["gamma"], args["hidden_dim"],
+                                        args["hidden_dim"]),
 }
 
 
@@ -220,6 +257,10 @@ class KEModel:
         rel_dim = hidden_dim * (2 if score_func == "ComplEx" else 1)
         if score_func == "RESCAL":
             rel_dim = hidden_dim * hidden_dim
+        if score_func == "TransR":
+            # relation vector + flattened per-relation projection matrix
+            # (reference: TransRScore projection_emb)
+            rel_dim = hidden_dim + ent_dim * hidden_dim
         self.emb_init = args["emb_init"]
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         self.params = {

@@ -4,5 +4,5 @@ from .spmd import (  # noqa: F401
 )
 from .halo import (  # noqa: F401
     SpatialPlan, build_spatial_plan, shard_features, unshard_rows,
-    make_halo_gspmm,
+    make_halo_gspmm, make_spatial_gcn, spatial_train_step,
 )

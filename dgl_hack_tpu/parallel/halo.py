@@ -54,11 +54,12 @@ class SpatialPlan:
     owned_ids: np.ndarray     # (P, n_owned_max) original node id (pad 0)
     owned_mask: np.ndarray    # (P, n_owned_max) bool
     in_deg: np.ndarray        # (P, n_owned_max) true in-degree
+    out_deg: np.ndarray       # (P, n_owned_max) true out-degree
 
     def device_arrays(self):
         return {k: jnp.asarray(getattr(self, k)) for k in
                 ("src_ext", "dst_loc", "edge_mask", "send_idx", "send_mask",
-                 "owned_ids", "owned_mask", "in_deg")}
+                 "owned_ids", "owned_mask", "in_deg", "out_deg")}
 
 
 def build_spatial_plan(g: Graph, num_parts: int, method: str = "fennel",
@@ -103,6 +104,8 @@ def build_spatial_plan(g: Graph, num_parts: int, method: str = "fennel",
     owned_ids = np.zeros((P_, n_owned_max), np.int32)
     owned_mask = np.zeros((P_, n_owned_max), bool)
     in_deg = np.zeros((P_, n_owned_max), np.int32)
+    out_deg = np.zeros((P_, n_owned_max), np.int32)
+    global_out_deg = np.bincount(s, minlength=n)
 
     for q in range(P_):
         for p in range(P_):
@@ -114,6 +117,7 @@ def build_spatial_plan(g: Graph, num_parts: int, method: str = "fennel",
         o = owned[p]
         owned_ids[p, :len(o)] = o
         owned_mask[p, :len(o)] = True
+        out_deg[p, :len(o)] = global_out_deg[o]
         # extended index: own rows [0, n_owned_max), halo rows packed at
         # n_owned_max + P*s_max slots (recv buffer layout, masked)
         ext_index = np.full(n, -1, np.int64)
@@ -135,7 +139,7 @@ def build_spatial_plan(g: Graph, num_parts: int, method: str = "fennel",
 
     return SpatialPlan(P_, n_owned_max, P_ * s_max, s_max, src_ext, dst_loc,
                        edge_mask, send_idx, send_mask, owned_ids, owned_mask,
-                       in_deg)
+                       in_deg, out_deg)
 
 
 def shard_features(plan: SpatialPlan, x: np.ndarray) -> np.ndarray:
@@ -200,3 +204,76 @@ def make_halo_gspmm(plan: SpatialPlan, mesh: Mesh, axis: str = "node",
                       dev["in_deg"])
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# spatial multi-layer GCN: the full distributed training path
+# ---------------------------------------------------------------------------
+def make_spatial_gcn(plan: SpatialPlan, mesh: Mesh, hidden: int,
+                     out_feats: int, axis: str = "node"):
+    """Distributed 2-layer GCN over a spatial partition.
+
+    forward(params, x_stacked, dev) -> logits (P, n_owned_max, out);
+    the halo all_to_all runs per layer inside shard_map; the dense matmuls
+    run on the row-sharded activations (GSPMD inserts nothing — weights
+    replicated); gradient psum falls out of jax AD.
+
+    This is the functional successor of the reference's per-partition
+    trainers + KVStore feature pulls (apps/kg/kvclient.py, contrib/
+    graph_store.py) as one compiled program.
+    """
+    halo = make_halo_gspmm(plan, mesh, axis=axis)
+
+    def init(key, in_feats):
+        k1, k2 = jax.random.split(key)
+        s1 = (6.0 / (in_feats + hidden)) ** 0.5
+        s2 = (6.0 / (hidden + out_feats)) ** 0.5
+        return {
+            "W1": jax.random.uniform(k1, (in_feats, hidden), jnp.float32,
+                                     -s1, s1),
+            "b1": jnp.zeros((hidden,), jnp.float32),
+            "W2": jax.random.uniform(k2, (hidden, out_feats), jnp.float32,
+                                     -s2, s2),
+            "b2": jnp.zeros((out_feats,), jnp.float32),
+        }
+
+    def layer(x, dev, W, b):
+        # GraphConv norm='both' (reference: graphconv.py:130-170):
+        # D_out^-1/2 -> aggregate -> D_in^-1/2, matmul order by dims
+        dout = jnp.maximum(dev["out_deg"].astype(x.dtype), 1.0)
+        din = jnp.maximum(dev["in_deg"].astype(x.dtype), 1.0)
+        h = x * jax.lax.rsqrt(dout)[..., None]
+        if h.shape[-1] > W.shape[1]:
+            h = h @ W
+            h = halo(h, dev)
+        else:
+            h = halo(h, dev)
+            h = h @ W
+        return h * jax.lax.rsqrt(din)[..., None] + b
+
+    def forward(params, x, dev):
+        h = jax.nn.relu(layer(x, dev, params["W1"], params["b1"]))
+        return layer(h, dev, params["W2"], params["b2"])
+
+    return init, forward
+
+
+def spatial_train_step(forward, tx):
+    """Masked-CE train step over stacked shards; labels/masks stacked
+    (P, n_owned_max)."""
+    import optax
+
+    @jax.jit
+    def step(params, opt_state, x, dev, labels, mask):
+        def loss_fn(p):
+            logits = forward(p, x, dev)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(
+                logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+            m = mask.astype(logits.dtype)
+            return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step

@@ -14,7 +14,7 @@ from dgl_hack_tpu.models.kg import (
 
 
 @pytest.mark.parametrize("name", ["TransE_l2", "TransE_l1", "DistMult",
-                                  "ComplEx", "RotatE"])
+                                  "ComplEx", "RotatE", "TransR", "RESCAL"])
 def test_neg_scores_match_pos(name, rng):
     """score.neg_*(chunked) must equal score.pos evaluated pairwise."""
     model = KEModel(50, 7, 16, score_func=name, gamma=10.0, seed=0)
