@@ -394,3 +394,88 @@ def reverse(g: Graph) -> Graph:
                  is_block=False if not g.is_block else True,
                  build_csr=True, edge_mask=em)
     return out
+
+
+# ---------------------------------------------------------------------------
+# structure queries (host-side; reference: DGLGraph query API, graph.py)
+# ---------------------------------------------------------------------------
+def _graph_queries():
+    def in_edges(self, v):
+        """(src, dst, eid) of in-edges of nodes v (reference:
+        graph.py in_edges)."""
+        indptr = np.asarray(self.csc_indptr)
+        src = np.asarray(self.src)
+        eid = (np.asarray(self.int2user) if self.int2user is not None
+               else np.arange(src.shape[0], dtype=np.int32))
+        v = np.atleast_1d(np.asarray(v, np.int64))
+        pos = np.concatenate([np.arange(indptr[n], indptr[n + 1])
+                              for n in v]) if len(v) else \
+            np.zeros(0, np.int64)
+        dsts = np.repeat(v, indptr[v + 1] - indptr[v])
+        return src[pos], dsts.astype(np.int32), eid[pos]
+
+    def out_edges(self, u):
+        if self.csr_indptr is None:
+            raise ValueError("graph was built without the CSR format")
+        indptr = np.asarray(self.csr_indptr)
+        eids_int = np.asarray(self.csr_eids)
+        dst = np.asarray(self.dst)
+        eid = (np.asarray(self.int2user) if self.int2user is not None
+               else np.arange(dst.shape[0], dtype=np.int32))
+        u = np.atleast_1d(np.asarray(u, np.int64))
+        pos = np.concatenate([np.arange(indptr[n], indptr[n + 1])
+                              for n in u]) if len(u) else \
+            np.zeros(0, np.int64)
+        e_int = eids_int[pos]
+        srcs = np.repeat(u, indptr[u + 1] - indptr[u])
+        return srcs.astype(np.int32), dst[e_int], eid[e_int]
+
+    def predecessors(self, v):
+        return np.unique(self.in_edges(v)[0])
+
+    def successors(self, u):
+        return np.unique(self.out_edges(u)[1])
+
+    def has_edges_between(self, u, v):
+        s, d = (np.asarray(x) for x in self.edges(order="eid"))
+        pairs = set(zip(s.tolist(), d.tolist()))
+        u = np.atleast_1d(np.asarray(u))
+        v = np.atleast_1d(np.asarray(v))
+        return np.array([(int(a), int(b)) in pairs for a, b in zip(u, v)])
+
+    def edge_ids(self, u, v):
+        """First edge id between each (u, v) pair; -1 if absent."""
+        s, d = (np.asarray(x) for x in self.edges(order="eid"))
+        lut = {}
+        for e in range(len(s) - 1, -1, -1):
+            lut[(int(s[e]), int(d[e]))] = e
+        u = np.atleast_1d(np.asarray(u))
+        v = np.atleast_1d(np.asarray(v))
+        return np.array([lut.get((int(a), int(b)), -1)
+                         for a, b in zip(u, v)], np.int32)
+
+    def filter_nodes(self, predicate):
+        """Node ids where predicate(NodeBatch) is True (reference:
+        graph.py filter_nodes)."""
+        from .message import NodeBatch
+        keep = np.asarray(predicate(NodeBatch(dict(self._node_frames[-1]))))
+        return np.nonzero(keep)[0].astype(np.int32)
+
+    def filter_edges(self, predicate):
+        from .message import EdgeBatch
+        keep = np.asarray(predicate(EdgeBatch(self)))
+        if self.user2int is not None:
+            keep = keep[np.asarray(self.user2int)]
+        return np.nonzero(keep)[0].astype(np.int32)
+
+    Graph.in_edges = in_edges
+    Graph.out_edges = out_edges
+    Graph.predecessors = predecessors
+    Graph.successors = successors
+    Graph.has_edges_between = has_edges_between
+    Graph.edge_ids = edge_ids
+    Graph.filter_nodes = filter_nodes
+    Graph.filter_edges = filter_edges
+
+
+_graph_queries()

@@ -7,6 +7,9 @@ from .io import save_graphs, load_graphs  # noqa: F401
 from .karate import KarateClubDataset  # noqa: F401
 from .rdf import AIFBDataset, MUTAGDataset, BGSDataset, AMDataset, load_rdf_dataset  # noqa: F401
 from .kg import load_kg_dataset, KGDataset, synthetic_kg  # noqa: F401
+from .graph_classification import (  # noqa: F401
+    GraphClassificationDataset, sbm_mixture, TUDatasetSynthetic,
+)
 from .synthetic import (  # noqa: F401
     NodeClassificationDataset, planted_partition, synthetic_cora,
     synthetic_reddit, random_power_law_graph,
