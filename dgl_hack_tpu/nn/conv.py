@@ -158,14 +158,17 @@ class GATConv(nn.Module):
 class SAGEConv(nn.Module):
     """GraphSAGE layer (reference: sageconv.py:10).
 
-    aggregator_type in {'mean', 'gcn', 'pool'} ('lstm' is provided via the
-    UDF mailbox path in nn/sage_lstm.py if needed; rarely used at scale).
+    aggregator_type in {'mean', 'gcn', 'pool', 'lstm'}.  'lstm' runs a
+    flax LSTM over the padded dense neighbour mailbox (the static-shape
+    stand-in for the reference's degree-bucketed LSTM reducer,
+    sageconv.py:90-99); ``lstm_max_degree`` caps the mailbox width.
     """
     out_feats: int
     aggregator_type: str = "mean"
     feat_drop: float = 0.0
     use_bias: bool = True
     activation: Optional[Callable] = None
+    lstm_max_degree: int = 32
 
     @nn.compact
     def __call__(self, g: Graph, feat, deterministic: bool = True):
@@ -185,6 +188,16 @@ class SAGEConv(nn.Module):
             p = nn.relu(nn.Dense(feat_src.shape[-1], kernel_init=xavier,
                                  name="fc_pool")(feat_src))
             h_neigh = gspmm(g, "copy_lhs", "max", p)
+        elif self.aggregator_type == "lstm":
+            from ..core.message import build_mailbox
+            box, mask, deg = build_mailbox(
+                g, {"m": feat_src[g.src]}, max_degree=self.lstm_max_degree)
+            m = box["m"]                      # (N_dst, D, F)
+            rnn = nn.RNN(nn.OptimizedLSTMCell(features=feat_src.shape[-1]),
+                         return_carry=True, name="lstm")
+            lens = jnp.minimum(deg, self.lstm_max_degree)
+            (c_fin, h_fin), _ = rnn(m, seq_lengths=lens)
+            h_neigh = h_fin
         else:
             raise KeyError(f"Aggregator type {self.aggregator_type} not "
                            "recognized.")

@@ -78,7 +78,7 @@ def test_gatconv_dense_oracle(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("agg", ["mean", "gcn", "pool"])
+@pytest.mark.parametrize("agg", ["mean", "gcn", "pool", "lstm"])
 def test_sageconv_shapes_and_grad(rng, agg):
     g, src, dst = random_graph(rng, num_edges=50)
     n = g.num_nodes()

@@ -95,3 +95,22 @@ def test_negative_sampler():
     neg = ns.sample(num_pos=10, num_nodes=100)
     assert neg.shape == (3, 8)
     assert neg.max() < 100
+
+
+def test_nodeflow_compat(g, rng):
+    """Legacy NodeFlow API over sampled blocks (reference:
+    tests/compute/test_nodeflow.py patterns)."""
+    from dgl_hack_tpu import fn
+    from dgl_hack_tpu.sampling.nodeflow import NodeFlow
+    sampler = MultiLayerNeighborSampler([3, 3], replace=True, pad=False,
+                                        seed=0)
+    nf = NodeFlow.from_sampler(g, np.arange(6), sampler)
+    assert nf.num_blocks == 2
+    assert nf.num_layers == 3
+    assert nf.layer_size(2) == 6
+    feats = rng.normal(size=(50, 4)).astype(np.float32)
+    nf.copy_from_parent({"h": feats})
+    nf.prop_flow(fn.copy_u("h", "m"), fn.sum("m", "h"))
+    out = nf.layers(2)["h"]
+    assert out.shape == (6, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
