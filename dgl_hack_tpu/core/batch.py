@@ -28,9 +28,9 @@ def batch(graphs: Sequence[Graph]) -> Graph:
     node_off = np.concatenate([[0], np.cumsum(n_nodes)])
     srcs, dsts = [], []
     for g, off in zip(graphs, node_off[:-1]):
-        s, d = g.edges(order="eid")
-        srcs.append(np.asarray(s) + off)
-        dsts.append(np.asarray(d) + off)
+        s, d = g.host_edges()
+        srcs.append(s + off)
+        dsts.append(d + off)
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int32)
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int32)
     bg = _build(src.astype(np.int32), dst.astype(np.int32),
@@ -60,8 +60,7 @@ def unbatch(bg: Graph) -> List[Graph]:
     n_edges = bg.batch_num_edges
     node_off = np.concatenate([[0], np.cumsum(n_nodes)])
     edge_off = np.concatenate([[0], np.cumsum(n_edges)])
-    src, dst = bg.edges(order="eid")
-    src, dst = np.asarray(src), np.asarray(dst)
+    src, dst = bg.host_edges()
     out = []
     for i, (nn_, ne) in enumerate(zip(n_nodes, n_edges)):
         s = src[edge_off[i]:edge_off[i + 1]] - node_off[i]

@@ -300,6 +300,31 @@ class Graph:
         return (f"{kind}(num_src={self._num_src}, num_dst={self._num_dst}, "
                 f"num_edges={self.src.shape[0]})")
 
+    # -- host-side array cache ------------------------------------------
+    def host(self, name: str) -> np.ndarray:
+        """numpy view of a structure array WITHOUT a device->host
+        transfer when the graph was built on host (the common case).
+
+        Device transfers through a remote-TPU tunnel are very slow for
+        big index arrays; every host-side consumer (samplers, planners,
+        transforms) must come through here.
+        """
+        cache = getattr(self, "_np_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_np_cache", cache)
+        if name not in cache:
+            cache[name] = np.asarray(getattr(self, name))
+        return cache[name]
+
+    def host_edges(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(src, dst) in user order, host-side."""
+        s, d = self.host("src"), self.host("dst")
+        if self.int2user is None:
+            return s, d
+        u2i = self.host("user2int")
+        return s[u2i], d[u2i]
+
     # Message passing methods are attached by core.message to avoid an
     # import cycle (see core/message.py).
 
@@ -340,9 +365,20 @@ def _build(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
     if edge_mask is not None:
         kw["edge_mask"] = jnp.asarray(edge_mask[perm])
 
-    return Graph(num_src=num_src, num_dst=num_dst,
-                 src=jnp.asarray(s_src), dst=jnp.asarray(s_dst),
-                 csc_indptr=jnp.asarray(csc_indptr), is_block=is_block, **kw)
+    np_arrays = {"src": s_src, "dst": s_dst, "csc_indptr": csc_indptr}
+    if not already_sorted:
+        np_arrays["int2user"] = perm
+        np_arrays["user2int"] = inv
+    if build_csr:
+        np_arrays["csr_indptr"] = csr_indptr
+        np_arrays["csr_eids"] = csr_perm
+    g = Graph(num_src=num_src, num_dst=num_dst,
+              src=jnp.asarray(s_src), dst=jnp.asarray(s_dst),
+              csc_indptr=jnp.asarray(csc_indptr), is_block=is_block, **kw)
+    # host-side numpy cache: avoids device->host transfers in samplers,
+    # planners and transforms (they are huge through a remote-TPU tunnel)
+    object.__setattr__(g, "_np_cache", np_arrays)
+    return g
 
 
 def graph(edges: Tuple[Any, Any], num_nodes: Optional[int] = None,

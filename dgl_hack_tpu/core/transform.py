@@ -22,8 +22,7 @@ __all__ = ["khop_graph", "line_graph", "to_bidirected", "add_self_loop",
 
 
 def _edges_np(g: Graph) -> Tuple[np.ndarray, np.ndarray]:
-    s, d = g.edges(order="eid")
-    return np.asarray(s), np.asarray(d)
+    return g.host_edges()
 
 
 def _adj(g: Graph) -> sp.csr_matrix:
@@ -280,7 +279,8 @@ def reorder_graph(g: Graph, method: str = "degree"):
     """
     n = g.num_nodes()
     if method == "degree":
-        deg = np.asarray(g.in_degrees())
+        indptr = g.host("csc_indptr")
+        deg = indptr[1:] - indptr[:-1]
         orig_ids = np.argsort(-deg, kind="stable").astype(np.int32)
     elif method == "random":
         orig_ids = np.random.default_rng(0).permutation(n).astype(np.int32)

@@ -23,9 +23,9 @@ def save_graphs(path: str, graphs: Sequence[Graph],
     payload: Dict[str, np.ndarray] = {}
     meta = []
     for i, g in enumerate(graphs):
-        s, d = g.edges(order="eid")
-        payload[f"g{i}_src"] = np.asarray(s)
-        payload[f"g{i}_dst"] = np.asarray(d)
+        s, d = g.host_edges()
+        payload[f"g{i}_src"] = s
+        payload[f"g{i}_dst"] = d
         gm = {"num_src": g.num_src_nodes, "num_dst": g.num_dst_nodes,
               "is_block": g.is_block,
               "ndata": sorted(g._node_frames[0].keys()),

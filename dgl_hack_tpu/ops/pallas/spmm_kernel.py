@@ -412,9 +412,9 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
     if g.csr_indptr is None or g.csr_eids is None:
         raise ValueError("prepare_spmm requires the graph's CSR format")
     plan = build_gspmm_plan(
-        np.asarray(g.csc_indptr), np.asarray(g.dst), np.asarray(g.src),
-        np.asarray(g.csr_indptr), np.asarray(g.csr_eids),
-        np.asarray(g.dst), g.num_src_nodes, g.num_dst_nodes,
+        g.host("csc_indptr"), g.host("dst"), g.host("src"),
+        g.host("csr_indptr"), g.host("csr_eids"),
+        g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
         tr=tr, te=te, bc=bc, wc=wc)
     arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
     return g.replace(spmm_plan_arrays=arrays,

@@ -66,7 +66,7 @@ def build_spatial_plan(g: Graph, num_parts: int, method: str = "fennel",
                        seed: int = 0,
                        parts: Optional[np.ndarray] = None) -> SpatialPlan:
     """Partition g and derive the static exchange plan."""
-    s, d = (np.asarray(x) for x in g.edges(order="eid"))
+    s, d = g.host_edges()
     n = g.num_nodes()
     if parts is None:
         parts = make_parts(g, num_parts, method=method, seed=seed)

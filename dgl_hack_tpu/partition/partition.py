@@ -45,10 +45,10 @@ def fennel_partition(g: Graph, k: int, gamma: float = 1.5,
     ``slack`` x balanced size."""
     n = g.num_nodes()
     E = g.num_edges()
-    indptr_in = np.asarray(g.csc_indptr)
-    src = np.asarray(g.src)
-    indptr_out = np.asarray(g.csr_indptr)
-    dst_by_src = np.asarray(g.dst)[np.asarray(g.csr_eids)]
+    indptr_in = g.host("csc_indptr")
+    src = g.host("src")
+    indptr_out = g.host("csr_indptr")
+    dst_by_src = g.host("dst")[g.host("csr_eids")]
 
     alpha = E * (k ** (gamma - 1)) / max(n ** gamma, 1)
     cap = slack * n / k
@@ -93,7 +93,7 @@ def partition(g: Graph, k: int, method: str = "fennel",
         p = fennel_partition(g, k, seed=seed)
     else:
         raise ValueError(f"unknown partition method {method!r}")
-    s, d = (np.asarray(x) for x in g.edges(order="eid"))
+    s, d = g.host_edges()
     cut = int((p[s] != p[d]).sum())
     # reference logs the edge-cut the same way (metis_partition.cc:50-53)
     print(f"partition[{method}] k={k}: edge-cut {cut}/{g.num_edges()} "
@@ -131,7 +131,7 @@ def partition_graph_with_halo(g: Graph, parts: np.ndarray,
     """
     parts = np.asarray(parts)
     k = int(parts.max()) + 1 if len(parts) else 1
-    s, d = (np.asarray(x) for x in g.edges(order="eid"))
+    s, d = g.host_edges()
     out: List[Partition] = []
     for p in range(k):
         owned = np.nonzero(parts == p)[0]

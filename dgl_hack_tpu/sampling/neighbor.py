@@ -23,9 +23,9 @@ class _HostCSC:
     """Cached numpy view of a Graph's CSC arrays for fast host sampling."""
 
     def __init__(self, g: Graph):
-        self.indptr = np.asarray(g.csc_indptr)
-        self.src = np.asarray(g.src)
-        self.eid = (np.asarray(g.int2user) if g.int2user is not None
+        self.indptr = g.host("csc_indptr")
+        self.src = g.host("src")
+        self.eid = (g.host("int2user") if g.int2user is not None
                     else np.arange(len(self.src), dtype=np.int32))
         self.num_src = g.num_src_nodes
         self.num_dst = g.num_dst_nodes

@@ -14,10 +14,10 @@ class _HostCSR:
     def __init__(self, g: Graph):
         if g.csr_indptr is None:
             raise ValueError("random walks need the CSR format")
-        self.indptr = np.asarray(g.csr_indptr)
+        self.indptr = g.host("csr_indptr")
         # out-neighbors: dst of edges sorted by src
-        eids = np.asarray(g.csr_eids)
-        self.dst = np.asarray(g.dst)[eids]
+        eids = g.host("csr_eids")
+        self.dst = g.host("dst")[eids]
 
 
 def _get_csr(g: Graph) -> _HostCSR:
