@@ -13,7 +13,7 @@ from .core.heterograph import (  # noqa: F401
 from .core import message as _message  # attaches Graph methods  # noqa: F401
 from .core.message import (  # noqa: F401
     update_all, apply_edges, apply_nodes, send_and_recv, pull, push,
-    EdgeBatch, NodeBatch,
+    send, recv, EdgeBatch, NodeBatch,
 )
 from .core.batch import batch, unbatch  # noqa: F401
 from .core import transform  # noqa: F401

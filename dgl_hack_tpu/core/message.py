@@ -273,6 +273,38 @@ def _attach():
     Graph.push = lambda self, u, mf, rf: push(self, u, mf, rf)
     Graph.edge_softmax = lambda self, logits, order="internal": \
         _edge_softmax(self, logits, order)
+    Graph.send = lambda self, mf: send(self, mf)
+    Graph.recv = lambda self, v, rf: recv(self, v, rf)
 
 
 _attach()
+
+
+def send(g: Graph, message_func: MessageFunc) -> None:
+    """Stage messages on all edges (reference: DGLGraph.send,
+    python/dgl/graph.py:2749).  Messages are stored on the graph and
+    consumed by ``recv``; under tracing this is just deferred fusion."""
+    g._staged_messages = compute_messages(g, message_func)
+
+
+def recv(g: Graph, v, reduce_func: ReduceFunc) -> None:
+    """Reduce staged messages into nodes ``v`` (reference:
+    DGLGraph.recv, graph.py:2810)."""
+    msgs = getattr(g, "_staged_messages", None)
+    if msgs is None:
+        raise RuntimeError("recv() without a prior send()")
+    if not isinstance(reduce_func, BuiltinReduce):
+        raise NotImplementedError("recv supports builtin reducers; use "
+                                  "update_all for UDF reducers")
+    r = reduce_func
+    out = segment_ops.segment_reduce(
+        r.reducer, msgs[r.msg_field], g.dst, g.num_dst_nodes,
+        indices_are_sorted=True, mask=g.edge_mask)
+    v = jnp.asarray(v)
+    keep = jnp.zeros((g.num_dst_nodes,), bool).at[v].set(True)
+    prev = g._node_frames[-1].get(r.out_field)
+    if prev is not None and prev.shape == out.shape:
+        mask = keep.reshape((-1,) + (1,) * (out.ndim - 1))
+        out = jnp.where(mask, out, prev)
+    g._node_frames[-1][r.out_field] = out
+    g._staged_messages = None

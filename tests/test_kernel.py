@@ -131,3 +131,48 @@ def test_edge_mask_padding(rng):
         ref = oracle_gspmm(src[mask], dst[mask], 3, "copy_lhs", reducer,
                            x, None)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5)
+
+
+def test_stateful_gat_flow(rng):
+    """DGL-style stateful message-passing flow (the reference's
+    GATConv.forward sequence, nn/pytorch/conv/gatconv.py:103-160) via the
+    graph-method API."""
+    from dgl_hack_tpu import fn
+    g, src, dst = random_graph(rng, num_edges=40)
+    n = g.num_nodes()
+    ft = rng.normal(size=(n, 4)).astype(np.float32)
+    el = rng.normal(size=(n, 1)).astype(np.float32)
+    er = rng.normal(size=(n, 1)).astype(np.float32)
+    g.ndata["ft"] = jnp.asarray(ft)
+    g.ndata["el"] = jnp.asarray(el)
+    g.ndata["er"] = jnp.asarray(er)
+    g.apply_edges(fn.u_add_v("el", "er", "e"))
+    e = jax.nn.leaky_relu(g.edata_internal["e"], 0.2)
+    g.edata_internal["a"] = g.edge_softmax(e)
+    g.update_all(fn.u_mul_e("ft", "a", "m"), fn.sum("m", "out"))
+    out = np.asarray(g.ndata["out"])
+
+    ref = np.zeros((n, 4), np.float32)
+    for v in range(n):
+        eids = np.where(dst == v)[0]
+        if not len(eids):
+            continue
+        logits = (el[src[eids], 0] + er[v, 0])
+        logits = np.where(logits > 0, logits, 0.2 * logits)
+        w = np.exp(logits - logits.max()); w /= w.sum()
+        ref[v] = (w[:, None] * ft[src[eids]]).sum(0)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_send_recv(rng):
+    from dgl_hack_tpu import fn
+    g, src, dst = random_graph(rng, num_edges=30)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    g.ndata["h"] = jnp.asarray(x)
+    g.send(fn.copy_u("h", "m"))
+    g.recv(np.array([0, 1, 2]), fn.sum("m", "agg"))
+    out = np.asarray(g.ndata["agg"])
+    from utils import oracle_gspmm
+    ref = oracle_gspmm(src, dst, n, "copy_lhs", "sum", x, None)
+    np.testing.assert_allclose(out[:3], ref[:3], rtol=1e-4, atol=1e-5)
