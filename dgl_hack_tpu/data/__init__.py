@@ -3,7 +3,9 @@ from .citation import (  # noqa: F401
     CoraGraphDataset, CiteseerGraphDataset, PubmedGraphDataset,
     RedditDataset,
 )
-from .io import save_graphs, load_graphs  # noqa: F401
+from .io import (  # noqa: F401
+    save_graphs, load_graphs, save_heterograph, load_heterograph,
+)
 from .karate import KarateClubDataset  # noqa: F401
 from .rdf import AIFBDataset, MUTAGDataset, BGSDataset, AMDataset, load_rdf_dataset  # noqa: F401
 from .kg import load_kg_dataset, KGDataset, synthetic_kg  # noqa: F401

@@ -60,3 +60,42 @@ def load_graphs(path: str) -> Tuple[List[Graph], Dict[str, np.ndarray]]:
             graphs.append(g)
         labels = {k: z[f"label_{k}"] for k in meta["labels"]}
     return graphs, labels
+
+
+def save_heterograph(path: str, hg) -> None:
+    """Serialize a HeteroGraph (reference: heterograph pickling,
+    src/graph/pickle.cc) to npz."""
+    import json as _json
+    payload = {}
+    meta = {"ntypes": {}, "etypes": []}
+    for nt in hg.ntypes:
+        meta["ntypes"][nt] = hg.num_nodes(nt)
+        for k in hg.nodes_data(nt).keys():
+            payload[f"n_{nt}_{k}"] = np.asarray(hg.nodes_data(nt)[k])
+    for i, c in enumerate(hg.canonical_etypes):
+        rel = hg.relations[c]
+        s, d = rel.host_edges()
+        payload[f"e{i}_src"] = s
+        payload[f"e{i}_dst"] = d
+        meta["etypes"].append(list(c))
+    payload["__meta__"] = np.frombuffer(
+        _json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **payload)
+
+
+def load_heterograph(path: str):
+    import json as _json
+    from ..core.heterograph import heterograph
+    with np.load(path if str(path).endswith(".npz") else str(path) + ".npz",
+                 allow_pickle=False) as z:
+        meta = _json.loads(bytes(z["__meta__"]).decode())
+        data = {}
+        for i, c in enumerate(meta["etypes"]):
+            data[tuple(c)] = (z[f"e{i}_src"], z[f"e{i}_dst"])
+        hg = heterograph(data, num_nodes_dict=meta["ntypes"])
+        for nt in meta["ntypes"]:
+            for key in z.files:
+                pref = f"n_{nt}_"
+                if key.startswith(pref):
+                    hg.nodes_data(nt)[key[len(pref):]] = z[key]
+    return hg

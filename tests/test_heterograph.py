@@ -95,3 +95,17 @@ def test_hetero_conv(hg, rng):
     out = conv.apply(params, hg, inputs)
     assert out["game"].shape == (2, 5)
     assert out["user"].shape == (4, 5)
+
+
+def test_heterograph_serialization(hg, tmp_path):
+    from dgl_hack_tpu.data import save_heterograph, load_heterograph
+    hg.nodes_data("user")["h"] = jnp.ones((4, 2))
+    save_heterograph(str(tmp_path / "hg"), hg)
+    hg2 = load_heterograph(str(tmp_path / "hg"))
+    assert set(hg2.canonical_etypes) == set(hg.canonical_etypes)
+    assert hg2.num_nodes("user") == 4
+    np.testing.assert_allclose(np.asarray(hg2.nodes_data("user")["h"]),
+                               np.ones((4, 2)))
+    s1, d1 = hg.relations[("user", "plays", "game")].host_edges()
+    s2, d2 = hg2.relations[("user", "plays", "game")].host_edges()
+    np.testing.assert_array_equal(s1, s2)
