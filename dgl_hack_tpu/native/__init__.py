@@ -69,6 +69,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.compact_block.argtypes = [i32p, i32p, ctypes.c_int64, i32p,
                                       ctypes.c_int64, i64p, i32p, i32p,
                                       i32p]
+        lib.fennel_partition.restype = None
+        lib.fennel_partition.argtypes = [i32p, i32p, i32p, i32p, i32p,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.c_int32, ctypes.c_double,
+                                         ctypes.c_double, ctypes.c_int32,
+                                         i32p]
         _lib = lib
         return _lib
 
@@ -105,3 +111,20 @@ def rowwise_sample_native(indptr, src, seeds, fanout: int, replace: bool,
     keep = (np.arange(fanout)[None, :]
             < out_counts[:, None]).reshape(-1)
     return out_pos[keep], out_counts
+
+
+def fennel_native(indptr_in, src, indptr_out, dst_by_src, order, E: int,
+                  k: int, gamma: float, slack: float, num_passes: int):
+    """Native Fennel partition; returns parts array or None."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = len(order)
+    arrs = [np.ascontiguousarray(a, np.int32)
+            for a in (indptr_in, src, indptr_out, dst_by_src, order)]
+    parts = np.full(n, -1, np.int32)
+    lib.fennel_partition(*(_ptr(a, i32p) for a in arrs), n, E, k, gamma,
+                         slack, num_passes, _ptr(parts, i32p))
+    return parts

@@ -14,6 +14,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <random>
 #include <vector>
 
@@ -125,6 +126,51 @@ int64_t compact_block(const int32_t* src, const int32_t* dst, int64_t E,
   // reset mapping for reuse
   for (int64_t i = 0; i < next_id; ++i) mapping[out_src_ids[i]] = -1;
   return next_id;
+}
+
+// Streaming Fennel partitioning (the METIS_PartGraphKway stand-in;
+// reference: src/graph/metis_partition.cc:35).  Sequential by nature;
+// native because the per-node greedy loop is Python-prohibitive at 1M+
+// nodes.  indptr_in/src = CSC (in-nbrs); indptr_out/dst = out-nbrs
+// (dst_by_src).  order = visit order (caller shuffles).  parts in/out,
+// initialised to -1.
+void fennel_partition(const int32_t* indptr_in, const int32_t* src,
+                      const int32_t* indptr_out, const int32_t* dst,
+                      const int32_t* order, int64_t n, int64_t E,
+                      int32_t k, double gamma, double slack,
+                      int32_t num_passes, int32_t* parts) {
+  std::vector<int64_t> sizes(k, 0);
+  std::vector<double> score(k, 0.0);
+  std::vector<double> size_penalty(k, 0.0);
+  const double alpha =
+      E * std::pow((double)k, gamma - 1.0) / std::pow((double)n, gamma);
+  const double cap = slack * (double)n / k;
+  for (int32_t pass = 0; pass < num_passes; ++pass) {
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t v = order[i];
+      const int32_t old = parts[v];
+      if (old >= 0) sizes[old] -= 1;
+      std::fill(score.begin(), score.end(), 0.0);
+      for (int64_t e = indptr_in[v]; e < indptr_in[v + 1]; ++e) {
+        const int32_t p = parts[src[e]];
+        if (p >= 0) score[p] += 1.0;
+      }
+      for (int64_t e = indptr_out[v]; e < indptr_out[v + 1]; ++e) {
+        const int32_t p = parts[dst[e]];
+        if (p >= 0) score[p] += 1.0;
+      }
+      int32_t best = 0;
+      double best_s = -1e300;
+      for (int32_t p = 0; p < k; ++p) {
+        if (sizes[p] >= cap) continue;
+        const double s = score[p] - alpha * gamma * 0.5 *
+            std::pow((double)std::max<int64_t>(sizes[p], 1), gamma - 1.0);
+        if (s > best_s) { best_s = s; best = p; }
+      }
+      parts[v] = best;
+      sizes[best] += 1;
+    }
+  }
 }
 
 }  // extern "C"

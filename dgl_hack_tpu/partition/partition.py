@@ -50,9 +50,16 @@ def fennel_partition(g: Graph, k: int, gamma: float = 1.5,
     indptr_out = g.host("csr_indptr")
     dst_by_src = g.host("dst")[g.host("csr_eids")]
 
+    rng = np.random.default_rng(seed)
+    from ..native import fennel_native
+    native = fennel_native(indptr_in, src, indptr_out, dst_by_src,
+                           rng.permutation(n).astype(np.int32), E, k,
+                           gamma, slack, num_passes)
+    if native is not None:
+        return native
+
     alpha = E * (k ** (gamma - 1)) / max(n ** gamma, 1)
     cap = slack * n / k
-    rng = np.random.default_rng(seed)
     parts = np.full(n, -1, np.int32)
     sizes = np.zeros(k, np.int64)
     order = rng.permutation(n)
