@@ -1,5 +1,6 @@
 from .neighbor import (  # noqa: F401
     sample_neighbors, MultiLayerNeighborSampler, NodeDataLoader,
+    GraphDataLoader,
 )
 from .randomwalk import random_walk, node2vec_random_walk  # noqa: F401
 from .negative import (  # noqa: F401

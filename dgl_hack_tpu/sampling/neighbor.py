@@ -201,3 +201,34 @@ class NodeDataLoader:
             blocks, input_nodes, seeds = self.sampler.sample_blocks(
                 self.g, batch)
             yield input_nodes, seeds, blocks
+
+
+class GraphDataLoader:
+    """Minibatch iterator over a graph-classification dataset: yields
+    (batched_graph, stacked_features, labels) with fixed batch size
+    (reference: the GraphDataLoader/collate pattern of
+    examples/pytorch/gin)."""
+
+    def __init__(self, graphs, features, labels, batch_size: int,
+                 shuffle: bool = True, seed: Optional[int] = None):
+        from ..core import batch as _batch
+        self._batch = _batch.batch
+        self.graphs = list(graphs)
+        self.features = list(features)
+        self.labels = np.asarray(labels)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.graphs) // self.batch_size
+
+    def __iter__(self):
+        order = self.rng.permutation(len(self.graphs)) if self.shuffle \
+            else np.arange(len(self.graphs))
+        bs = self.batch_size
+        for i in range(0, len(order) - bs + 1, bs):
+            sel = order[i:i + bs]
+            bg = self._batch([self.graphs[j] for j in sel])
+            x = np.concatenate([self.features[j] for j in sel])
+            yield bg, x, self.labels[sel]

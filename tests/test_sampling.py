@@ -114,3 +114,35 @@ def test_nodeflow_compat(g, rng):
     out = nf.layers(2)["h"]
     assert out.shape == (6, 4)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_weighted_sampling_bias(g, rng):
+    """prob-weighted sampling must prefer high-probability edges
+    (reference: WeightedEdgeSampler semantics, src/graph/sampler.cc:1630)."""
+    E = g.num_edges()
+    s, d = g.host_edges()
+    prob = np.where(s % 2 == 0, 10.0, 0.1).astype(np.float32)
+    counts = np.zeros(2)
+    for t in range(30):
+        frontier, eids = sample_neighbors(
+            g, np.arange(50), 2, replace=False, prob=prob,
+            rng=np.random.default_rng(t))
+        fs, _ = frontier.host_edges()
+        counts[0] += (fs % 2 == 0).sum()
+        counts[1] += (fs % 2 == 1).sum()
+    assert counts[0] > 3 * counts[1], counts
+
+
+def test_graph_dataloader(rng):
+    from dgl_hack_tpu.data import sbm_mixture
+    from dgl_hack_tpu.sampling import GraphDataLoader
+    ds = sbm_mixture(num_graphs=30, nodes_per_graph=10, seed=0)
+    loader = GraphDataLoader(ds.graphs, ds.features, ds.labels,
+                             batch_size=10, seed=0)
+    n = 0
+    for bg, x, y in loader:
+        assert bg.batch_num_nodes == (10,) * 10
+        assert x.shape[0] == 100
+        assert y.shape == (10,)
+        n += 1
+    assert n == 3
