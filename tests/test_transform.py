@@ -102,3 +102,18 @@ def test_knn(rng):
     x = rng.normal(size=(20, 3))
     g = dgl.knn_graph(x, 4)
     np.testing.assert_array_equal(np.asarray(g.in_degrees()), 4)
+
+
+def test_reorder_graph(rng):
+    src = rng.integers(0, 50, 300).astype(np.int32)
+    dst = rng.integers(0, 50, 300).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=50)
+    g2, ids = dgl.reorder_graph(g, "degree")
+    deg = np.asarray(g2.in_degrees())
+    assert (np.diff(deg) <= 0).all()
+    import jax.numpy as jnp
+    x = rng.normal(size=(50, 4)).astype(np.float32)
+    out1 = np.asarray(dgl.gspmm(g, "copy_lhs", "sum", jnp.asarray(x)))
+    out2 = np.asarray(dgl.gspmm(g2, "copy_lhs", "sum",
+                                jnp.asarray(x[ids])))
+    np.testing.assert_allclose(out2, out1[ids], rtol=1e-5)
