@@ -176,3 +176,57 @@ def test_send_recv(rng):
     from utils import oracle_gspmm
     ref = oracle_gspmm(src, dst, n, "copy_lhs", "sum", x, None)
     np.testing.assert_allclose(out[:3], ref[:3], rtol=1e-4, atol=1e-5)
+
+
+def test_pull_push(rng):
+    from dgl_hack_tpu import fn
+    g, src, dst = random_graph(rng, num_edges=40)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    from utils import oracle_gspmm
+    full = oracle_gspmm(src, dst, n, "copy_lhs", "sum", x, None)
+
+    # pull: only nodes v updated
+    g.ndata["h"] = jnp.asarray(x)
+    g.ndata["agg"] = jnp.zeros((n, 3))
+    g.pull(np.array([1, 4]), fn.copy_u("h", "m"), fn.sum("m", "agg"))
+    out = np.asarray(g.ndata["agg"])
+    np.testing.assert_allclose(out[1], full[1], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[4], full[4], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[0], 0.0)
+
+    # push: only edges from u contribute
+    g2, src2, dst2 = random_graph(rng, num_edges=40)
+    x2 = rng.normal(size=(g2.num_nodes(), 3)).astype(np.float32)
+    g2.ndata["h"] = jnp.asarray(x2)
+    g2.push(np.array([0, 2]), fn.copy_u("h", "m"), fn.sum("m", "agg"))
+    sel = np.isin(src2, [0, 2])
+    ref = oracle_gspmm(src2[sel], dst2[sel], g2.num_nodes(), "copy_lhs",
+                       "sum", x2, None)
+    np.testing.assert_allclose(np.asarray(g2.ndata["agg"]), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_udf_message_and_reduce(rng):
+    """UDF message + UDF mailbox reducer vs builtin composition
+    (reference: test_specialization.py degree-bucketing fallback
+    equivalence)."""
+    from dgl_hack_tpu import fn
+    g, src, dst = random_graph(rng, num_edges=40)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    g.ndata["h"] = jnp.asarray(x)
+
+    def mfunc(edges):
+        return {"m": edges.src["h"] * 2.0}
+
+    def rfunc(nodes):
+        s = (nodes.mailbox["m"]
+             * nodes.mask[..., None].astype(jnp.float32)).sum(1)
+        return {"agg": s}
+
+    g.update_all(mfunc, rfunc)
+    udf_out = np.asarray(g.ndata["agg"])
+    g.update_all(fn.copy_u("h", "m"), fn.sum("m", "agg2"))
+    builtin = 2.0 * np.asarray(g.ndata["agg2"])
+    np.testing.assert_allclose(udf_out, builtin, rtol=1e-4, atol=1e-5)
