@@ -21,6 +21,7 @@ from .core.transform import (  # noqa: F401
     khop_graph, line_graph, to_bidirected, add_self_loop, remove_self_loop,
     to_simple, remove_edges, node_subgraph, edge_subgraph, in_subgraph,
     out_subgraph, compact_graphs, to_block, knn_graph, reorder_graph,
+    add_edges, add_nodes,
 )
 from .core import traversal, propagate  # noqa: F401
 from .ops.spmm import gspmm  # noqa: F401

@@ -291,3 +291,23 @@ def reorder_graph(g: Graph, method: str = "degree"):
     s, d = _edges_np(g)
     g2 = _build(new_id[s], new_id[d], n, n, is_block=False)
     return g2, orig_ids
+
+
+def add_edges(g: Graph, src, dst) -> Graph:
+    """Functional edge addition — rebuilds the immutable graph
+    (reference: mutable Graph::AddEdges, src/graph/graph.cc; mutation is
+    rebuild-by-design on TPU)."""
+    s, d = _edges_np(g)
+    s2 = np.concatenate([s, np.asarray(src, np.int32)])
+    d2 = np.concatenate([d, np.asarray(dst, np.int32)])
+    n = max(g.num_nodes(), int(s2.max(initial=-1)) + 1,
+            int(d2.max(initial=-1)) + 1)
+    return _build(s2.astype(np.int32), d2.astype(np.int32), n, n,
+                  is_block=False)
+
+
+def add_nodes(g: Graph, num: int) -> Graph:
+    """Functional node addition (reference: Graph::AddVertices)."""
+    s, d = _edges_np(g)
+    n = g.num_nodes() + int(num)
+    return _build(s, d, n, n, is_block=False)

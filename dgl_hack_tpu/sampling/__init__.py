@@ -1,6 +1,7 @@
 from .neighbor import (  # noqa: F401
     sample_neighbors, MultiLayerNeighborSampler, NodeDataLoader,
-    GraphDataLoader,
+    GraphDataLoader, select_topk, sample_layer_neighbors,
+    EdgeSampler,
 )
 from .randomwalk import random_walk, node2vec_random_walk  # noqa: F401
 from .negative import (  # noqa: F401

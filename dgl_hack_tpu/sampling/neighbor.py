@@ -232,3 +232,100 @@ class GraphDataLoader:
             bg = self._batch([self.graphs[j] for j in sel])
             x = np.concatenate([self.features[j] for j in sel])
             yield bg, x, self.labels[sel]
+
+
+def select_topk(g: Graph, k: int, weight: np.ndarray,
+                nodes: Optional[Sequence[int]] = None):
+    """Keep the k highest-weight in-edges per node (reference:
+    aten::CSRRowWiseTopk, src/array/cpu/rowwise_topk.cc; python API
+    dgl.sampling.select_topk).  ``weight`` is per-edge in user order.
+
+    Returns (frontier, edge_ids) like sample_neighbors.
+    """
+    csc = _get_csc(g)
+    weight = np.asarray(weight)
+    if nodes is None:
+        nodes = np.arange(csc.num_dst, dtype=np.int64)
+    else:
+        nodes = np.asarray(nodes, dtype=np.int64)
+    pos_list, dst_list = [], []
+    for v in nodes:
+        lo, hi = csc.indptr[v], csc.indptr[v + 1]
+        if hi == lo:
+            continue
+        w = weight[csc.eid[lo:hi]]
+        kk = min(k, hi - lo)
+        sel = np.argpartition(-w, kk - 1)[:kk] if kk < hi - lo \
+            else np.arange(hi - lo)
+        pos_list.append(lo + sel)
+        dst_list.append(np.full(kk, v, np.int64))
+    pos = np.concatenate(pos_list) if pos_list else np.zeros(0, np.int64)
+    dsts = np.concatenate(dst_list) if dst_list else np.zeros(0, np.int64)
+    frontier = _build(csc.src[pos].astype(np.int32), dsts.astype(np.int32),
+                      csc.num_src, csc.num_dst, is_block=False,
+                      build_csr=False)
+    return frontier, csc.eid[pos].astype(np.int32)
+
+
+def sample_layer_neighbors(g: Graph, seeds: Sequence[int],
+                           layer_size: int,
+                           rng: Optional[np.random.Generator] = None):
+    """Layer-wise (LADIES/FastGCN-style) sampling: one shared set of
+    ``layer_size`` source nodes for the whole layer (reference: the
+    legacy LayerSampler, _CAPI_LayerSampling, src/graph/sampler.cc:951).
+
+    Returns (frontier, edge_ids): edges from sampled sources into seeds.
+    """
+    rng = rng or np.random.default_rng()
+    csc = _get_csc(g)
+    seeds = np.asarray(seeds, dtype=np.int64)
+    # candidate sources = union of all in-neighbors of the seeds
+    pos_all = np.concatenate([np.arange(csc.indptr[v], csc.indptr[v + 1])
+                              for v in seeds]) if len(seeds) else \
+        np.zeros(0, np.int64)
+    cand = np.unique(csc.src[pos_all])
+    if len(cand) > layer_size:
+        cand = rng.choice(cand, size=layer_size, replace=False)
+    sel_mask = np.zeros(csc.num_src, bool)
+    sel_mask[cand] = True
+    keep = sel_mask[csc.src[pos_all]]
+    pos = pos_all[keep]
+    dsts = np.repeat(seeds, csc.indptr[seeds + 1] - csc.indptr[seeds])[keep]
+    frontier = _build(csc.src[pos].astype(np.int32), dsts.astype(np.int32),
+                      csc.num_src, csc.num_dst, is_block=False,
+                      build_csr=False)
+    return frontier, csc.eid[pos].astype(np.int32)
+
+
+class EdgeSampler:
+    """Minibatch iterator over (positive edges, chunked negatives) —
+    the link-prediction / KG batch sampler (reference:
+    UniformEdgeSamplerObject, src/graph/sampler.cc:1428, with
+    chunked negative mode)."""
+
+    def __init__(self, g: Graph, batch_size: int, neg_sample_size: int = 0,
+                 chunk_size: int = 1, negative_mode: str = "tail",
+                 shuffle: bool = True, seed: Optional[int] = None):
+        self.g = g
+        self.batch_size = batch_size
+        self.neg_sample_size = neg_sample_size
+        self.chunk_size = chunk_size
+        self.negative_mode = negative_mode
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        s, d = self.g.host_edges()
+        E = len(s)
+        order = self.rng.permutation(E) if self.shuffle else np.arange(E)
+        bs = self.batch_size
+        for i in range(0, E - bs + 1, bs):
+            sel = order[i:i + bs]
+            batch = {"src": s[sel], "dst": d[sel], "eid": sel.astype(np.int32)}
+            if self.neg_sample_size:
+                C = -(-bs // self.chunk_size)
+                batch["neg"] = self.rng.integers(
+                    0, self.g.num_nodes(),
+                    (C, self.neg_sample_size)).astype(np.int32)
+                batch["neg_is_head"] = self.negative_mode == "head"
+            yield batch

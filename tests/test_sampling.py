@@ -146,3 +146,42 @@ def test_graph_dataloader(rng):
         assert y.shape == (10,)
         n += 1
     assert n == 3
+
+
+def test_select_topk(g, rng):
+    from dgl_hack_tpu.sampling import select_topk
+    E = g.num_edges()
+    w = rng.normal(size=E).astype(np.float32)
+    frontier, eids = select_topk(g, 3, w)
+    s, d = frontier.host_edges()
+    gs, gd = g.host_edges()
+    deg = np.asarray(g.in_degrees())
+    for v in range(g.num_nodes()):
+        cnt = (d == v).sum()
+        assert cnt == min(3, deg[v])
+        if deg[v] > 3:
+            # kept weights are the top-3
+            kept = np.sort(w[eids[d == v]])
+            allw = np.sort(w[np.nonzero(gd == v)[0]])
+            np.testing.assert_allclose(kept, allw[-3:], rtol=1e-6)
+
+
+def test_layer_sampler(g, rng):
+    from dgl_hack_tpu.sampling import sample_layer_neighbors
+    frontier, eids = sample_layer_neighbors(
+        g, np.arange(10), layer_size=8, rng=np.random.default_rng(0))
+    s, d = frontier.host_edges()
+    assert len(np.unique(s)) <= 8
+    assert set(np.unique(d).tolist()) <= set(range(10))
+
+
+def test_edge_sampler(g):
+    from dgl_hack_tpu.sampling import EdgeSampler
+    it = EdgeSampler(g, batch_size=64, neg_sample_size=8, chunk_size=16,
+                     seed=0)
+    batches = list(it)
+    assert len(batches) == g.num_edges() // 64
+    b = batches[0]
+    assert b["src"].shape == (64,) and b["neg"].shape == (4, 8)
+    gs, gd = g.host_edges()
+    np.testing.assert_array_equal(gs[b["eid"]], b["src"])
