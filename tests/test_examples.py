@@ -1,0 +1,61 @@
+"""Example-CLI smoke tests (the reference runs examples in CI,
+tests/scripts/task_example_test.sh).  Executed in-process on CPU with
+tiny configurations."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_example(path, argv, capsys):
+    old = sys.argv
+    sys.argv = ["x"] + argv
+    full = os.path.join(REPO, path)
+    try:
+        src = open(full).read()
+        exec(compile(src, full, "exec"),
+             {"__name__": "__main__", "__file__": full})
+    finally:
+        sys.argv = old
+    return capsys.readouterr().out
+
+
+def test_train_gcn_example(capsys):
+    out = _run_example("examples/train_gcn.py",
+                       ["--dataset", "synth", "--epochs", "30"], capsys)
+    import json
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.8
+
+
+def test_train_kg_example(capsys):
+    out = _run_example(
+        "examples/train_kg.py",
+        ["--max_step", "120", "--kg-scale", "0.02", "--batch_size", "128",
+         "--neg_sample_size", "32", "--neg_chunk_size", "16",
+         "--hidden_dim", "32", "--eval_size", "200"], capsys)
+    import json
+    res = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(res["MRR"]) and res["MRR"] > 0
+
+
+def test_train_spatial_example(capsys):
+    out = _run_example("examples/train_spatial.py",
+                       ["--epochs", "25", "--nodes", "1200",
+                        "--method", "random"], capsys)
+    import json
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.7
+
+
+def test_partition_tool(tmp_path, capsys, monkeypatch):
+    monkeypatch.setenv("DGL_DOWNLOAD_DIR", str(tmp_path / "nodata"))
+    out = _run_example(
+        "tools/partition.py",
+        ["--dataset", "cora", "--num-parts", "2",
+         "--output", str(tmp_path / "parts" / "cora")], capsys)
+    assert "part 0:" in out and "part 1:" in out
+    assert (tmp_path / "parts" / "cora.part0.npz").exists()
