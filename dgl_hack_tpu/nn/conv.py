@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from .. import function as fn
 from ..core.graph import Graph
 from ..ops.edge_softmax import edge_softmax
+from ..ops.gat import gat_attention
 from ..ops.sddmm import gsddmm
 from ..ops.spmm import gspmm
 
@@ -133,14 +134,18 @@ class GATConv(nn.Module):
 
         attn_l = self.param("attn_l", xavier_normal, (1, H, D), fsrc.dtype)
         attn_r = self.param("attn_r", xavier_normal, (1, H, D), fsrc.dtype)
-        el = (fsrc * attn_l).sum(-1, keepdims=True)   # (N_src, H, 1)
-        er = (fdst * attn_r).sum(-1, keepdims=True)   # (N_dst, H, 1)
+        el = (fsrc * attn_l).sum(-1)                  # (N_src, H)
+        er = (fdst * attn_r).sum(-1)                  # (N_dst, H)
 
-        e = gsddmm(g, "add", el, er, "u", "v")        # (E, H, 1) internal
-        e = nn.leaky_relu(e, self.negative_slope)
-        a = edge_softmax(g, e)
-        a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
-        rst = gspmm(g, "mul", "sum", fsrc, a, "u", "e")  # (N_dst, H, D)
+        # explicit post-softmax dropout multiplier so both the fused
+        # Pallas path and the composed XLA path share one formulation
+        attn_w = None
+        if self.attn_drop > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.attn_drop,
+                                        (g.num_edges(), H))
+            attn_w = keep.astype(fsrc.dtype) / (1.0 - self.attn_drop)
+        rst = gat_attention(g, fsrc, el, er, self.negative_slope, attn_w)
 
         if self.residual:
             if h_dst.shape[-1] != H * D:

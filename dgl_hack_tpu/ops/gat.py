@@ -1,0 +1,65 @@
+"""Fused GAT attention op with automatic Pallas/XLA dispatch.
+
+One public function covers the fork's fused-GAT feature
+(gatExpLeakyReluSum + gatSumProdZipDiv, reference:
+src/kernel/cuda/binary_reduce_impl.cu:52,87): when the graph carries a
+Pallas block plan (``prepare_spmm``) and the shape fits, the flash-softmax
+kernel (ops/pallas/gat_kernel.py) runs the whole edge phase in one gather
+per edge; otherwise the composed XLA path (gsddmm + edge_softmax + gspmm)
+is used.  Both are differentiable and agree to kernel tolerance.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .edge_softmax import edge_softmax
+from .sddmm import gsddmm
+from .spmm import gspmm
+
+Array = jax.Array
+
+# VMEM guard: per-block z tile is TE x (H*D+H) f32, double-buffered
+_MAX_FUSED_WIDTH = 2048
+
+
+def _fused_eligible(g, fsrc, el, er) -> bool:
+    from ..utils.env import get_config
+    if get_config().disable_pallas:
+        return False
+    if getattr(g, "spmm_plan_arrays", None) is None or g.edge_mask is not None:
+        return False
+    if fsrc.ndim != 3 or el.ndim != 2 or er.ndim != 2:
+        return False
+    H, D = fsrc.shape[1], fsrc.shape[2]
+    if H * D + 2 * H > _MAX_FUSED_WIDTH:
+        return False
+    return all(jnp.issubdtype(jnp.result_type(t), jnp.floating)
+               for t in (fsrc, el, er))
+
+
+def gat_attention(g, fsrc: Array, el: Array, er: Array,
+                  negative_slope: float = 0.2,
+                  attn_w: Optional[Array] = None) -> Array:
+    """out[v] = sum_{e=(u,v)} softmax_v(leaky_relu(el[u] + er[v]))_e
+    * attn_w[e] * fsrc[u].
+
+    fsrc (N_src, H, D), el (N_src, H), er (N_dst, H); ``attn_w`` is an
+    optional post-softmax per-edge multiplier (attention dropout) of shape
+    (E, H) in internal edge order.  Returns (N_dst, H, D).
+    """
+    if _fused_eligible(g, fsrc, el, er):
+        from ..utils.env import get_config
+        from .pallas.gat_kernel import gat_attention_pallas
+        return gat_attention_pallas(
+            g.spmm_plan_meta, g.spmm_plan_arrays, g.src, g.dst, fsrc, el,
+            er, attn_w, negative_slope, mode=get_config().spmm_mode)
+    # composed XLA fallback (also the test oracle)
+    e = gsddmm(g, "add", el[:, :, None], er[:, :, None], "u", "v")
+    e = jax.nn.leaky_relu(e, negative_slope)
+    a = edge_softmax(g, e)                                   # (E, H, 1)
+    if attn_w is not None:
+        a = a * attn_w[:, :, None]
+    return gspmm(g, "mul", "sum", fsrc, a, "u", "e")

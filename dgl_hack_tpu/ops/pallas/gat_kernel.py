@@ -1,0 +1,347 @@
+"""Fused GAT attention Pallas kernel — flash-softmax in plan order.
+
+TPU-native equivalent of the fork's fused CUDA GAT pair
+(gatExpLeakyReluSumKernel / gatSumProdZipDivKernel, reference:
+src/kernel/cuda/binary_reduce_impl.cu:52,87 and the custom autograd
+bridge in python/dgl/backend/pytorch/tensor.py:291-519).  The unfused
+path costs ~8 E-row gather-engine operations per GAT layer forward
+(el[src], er[dst], segment max/sum scatters + gathers, x[src], w[e],
+final scatter); the gather engine at ~7.3 ns/row is the wall (KERNELS.md).
+This kernel does the whole edge phase in ONE gather per edge:
+
+* The host plan (ops/pallas/spmm_kernel.build_segment_plan) already packs
+  dst-sorted edges into (window, block, chunk) tiles with a precomposed
+  src-index per slot.  We gather the concatenated row z = [Wh_u || el_u]
+  once per edge — per-row gather cost is independent of row bytes.
+* er[dst] is never gathered: dst rows of one block live in one TR-row
+  window, so er_e = onehot(local_row)^T @ er_window — an exact MXU select.
+* Softmax is computed online (flash-attention style): a per-window
+  running max lives in VMEM scratch; each block rescales the resident
+  output tile by exp(m_old - m_new).  The kernel emits, per window,
+  the numerator  sum_e p_e * Wh_u  (p = exp(logit - m)), the
+  denominator sum_e p_e, and the final max m — softmax output
+  num/den is shift-invariant, so one-hot-select rounding on the shift
+  cancels exactly between numerator and denominator.
+* Chunk-split hub windows are merged with the standard online-softmax
+  combine (rescale both sides to the joint max) in XLA during the
+  overlap-add scan.
+* Attention dropout (an (E, H) multiplier) rides an optional second
+  per-slot operand applied to the numerator only — dropout after
+  softmax, matching GATConv semantics.
+
+Backward (custom VJP) recomputes a_e = exp(logit - m[dst]) / l[dst] from
+two fused edge gathers (z[src] and [dout||er||m||l||<rst,dout>][dst]),
+then reuses the generic plan reducer for d(Wh) and d(el) in one reverse
+pass — ~4 E-row operations total where the unfused autodiff graph pays
+~10.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spmm_kernel import N_PLAN_ARRAYS, _interpret, _run_direction
+
+Array = jax.Array
+
+_NEG = np.float32(-1e30)
+
+
+def _mxu_sel(mask: Array, vals: Array, mode: str) -> Array:
+    """mask @ vals where mask is 0/1: exact one-hot select/reduce.
+
+    'f32x2' splits vals into two bf16 terms (each product exact, sum
+    ~2^-16 of f32); 'highest' uses full-precision MXU passes; 'fast' is a
+    single bf16 pass.
+    """
+    if mode == "highest":
+        return jnp.dot(mask.astype(jnp.float32), vals,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    mb = mask.astype(jnp.bfloat16)
+    if mode == "fast":
+        return jnp.dot(mb, vals.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    hi = vals.astype(jnp.bfloat16)
+    lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(mb, hi, preferred_element_type=jnp.float32)
+            + jnp.dot(mb, lo, preferred_element_type=jnp.float32))
+
+
+def _mxu_sel_t(vals: Array, mask: Array, mode: str) -> Array:
+    """vals @ mask with a 0/1 mask on the right (head->lane expansion)."""
+    if mode == "highest":
+        return jnp.dot(vals, mask.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    mb = mask.astype(jnp.bfloat16)
+    if mode == "fast":
+        return jnp.dot(vals.astype(jnp.bfloat16), mb,
+                       preferred_element_type=jnp.float32)
+    hi = vals.astype(jnp.bfloat16)
+    lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(hi, mb, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, mb, preferred_element_type=jnp.float32))
+
+
+def _gat_kernel(window_ref, lr_ref, z_ref, er_ref, *rest, tr: int, te: int,
+                H: int, D: int, slope: float, mode: str, has_w: bool):
+    if has_w:
+        w_ref, out_ref, m_scr = rest
+    else:
+        out_ref, m_scr = rest
+    HD = H * D
+    b = pl.program_id(0)
+    lr = lr_ref[jax.lax.rem(b, 8), :]                       # (TE,)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
+    S = rows == lr[None, :]                                  # (TR, TE)
+    lr_col = jnp.broadcast_to(lr[:, None], (te, tr))         # i32: 2-D ok
+    St = lr_col == jax.lax.broadcasted_iota(jnp.int32, (te, tr), 1)
+    validH = jnp.broadcast_to(lr[:, None], (te, H)) < tr     # (TE, H)
+
+    z = z_ref[:]                                             # (TE, HD+H)
+    el_e = z[:, HD:HD + H]                                   # (TE, H)
+    er_e = _mxu_sel(St, er_ref[:], mode)                     # (TE, H)
+    raw = el_e + er_e
+    logit = jnp.where(raw >= 0, raw, np.float32(slope) * raw)
+    # padded slots carry -1e30: they vanish from the max and exp to 0
+    logit = jnp.where(validH, logit, _NEG)
+
+    # exact per-row block max, one masked lane-reduce per head
+    bm = jnp.concatenate(
+        [jnp.where(S, logit[:, h][None, :], _NEG).max(axis=1)[:, None]
+         for h in range(H)], axis=1)                         # (TR, H)
+
+    prev = window_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, window_ref[b] != prev)
+    m_old = m_scr[:]                                         # garbage if first
+    new_m = jnp.where(is_first, bm, jnp.maximum(m_old, bm))
+    m_scr[:] = new_m
+
+    nm_e = _mxu_sel(St, new_m, mode)                         # (TE, H)
+    p = jnp.exp(logit - nm_e)                                # pad slots -> 0
+    pw = p * w_ref[:] if has_w else p                        # (TE, H)
+
+    # expand head weights across their D lanes: pw @ kron(I_H, 1_D)
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // D
+    head_h = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+    R = lane_h == head_h                                     # (H, HD) 0/1
+    p_exp = _mxu_sel_t(pw, R, mode)                          # (TE, HD)
+    wz = z[:, :HD] * p_exp
+
+    num_c = _mxu_sel(S, wz, mode)                            # (TR, HD)
+    den_c = _mxu_sel(S, p, mode)                             # (TR, H)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = jnp.concatenate([num_c, den_c, new_m], axis=1)
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        scale = jnp.exp(m_old - new_m)                       # (TR, H)
+        scale_exp = _mxu_sel_t(scale, R, mode)               # (TR, HD)
+        cur = out_ref[:]
+        out_ref[:] = jnp.concatenate(
+            [cur[:, :HD] * scale_exp + num_c,
+             cur[:, HD:HD + H] * scale + den_c,
+             new_m], axis=1)
+
+
+def _gat_chunk_call(win: Array, lr: Array, z_g: Array, er_chunk: Array,
+                    w_g: Optional[Array], *, tr: int, te: int, bc: int,
+                    wc: int, H: int, D: int, slope: float,
+                    mode: str) -> Array:
+    width_in = z_g.shape[1]
+    out_w = H * D + 2 * H
+    has_w = w_g is not None
+    in_specs = [
+        pl.BlockSpec((8, te), lambda b, w: (b // 8, 0)),
+        pl.BlockSpec((te, width_in), lambda b, w: (b, 0)),
+        pl.BlockSpec((tr, H), lambda b, w: (w[b], 0)),
+    ]
+    operands = [lr, z_g, er_chunk]
+    if has_w:
+        in_specs.append(pl.BlockSpec((te, H), lambda b, w: (b, 0)))
+        operands.append(w_g)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bc,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tr, out_w), lambda b, w: (w[b], 0)),
+        scratch_shapes=[pltpu.VMEM((tr, H), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_gat_kernel, tr=tr, te=te, H=H, D=D, slope=slope,
+                          mode=mode, has_w=has_w),
+        grid_spec=grid,
+        out_shape=jax.ShapeDtypeStruct((wc * tr, out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(win, *operands)
+
+
+def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
+                 w: Optional[Array], E: int, slope: float, mode: str):
+    """Scan chunks; merge chunk-split windows with the online-softmax
+    combine.  Returns (rst (N_dst, HD), den (N_dst, H), m (N_dst, H))."""
+    num_rows, tr, te, wc, C = meta
+    gidx_s, perm_s, lr_s, win_s, row0_s, cover_s = plan_arrays
+    H = er.shape[1]
+    HD = z.shape[1] - H
+    D = HD // H
+    out_w = HD + 2 * H
+    out_len = wc * tr
+    pad_rows = ((num_rows + tr - 1) // tr) * tr + out_len
+    if C == 0:
+        zero = jnp.zeros((num_rows, HD), jnp.float32)
+        return (zero, jnp.zeros((num_rows, H), jnp.float32),
+                jnp.full((num_rows, H), _NEG))
+    bc = win_s.shape[1]
+    init = jnp.concatenate(
+        [jnp.zeros((pad_rows, HD + H), jnp.float32),
+         jnp.full((pad_rows, H), _NEG)], axis=1)
+    er_pad = jnp.zeros((pad_rows, H), jnp.float32).at[:er.shape[0]].set(
+        er.astype(jnp.float32))
+
+    def body(acc, xs):
+        gidx, perm, lr, win, row0, cover = xs
+        zg = z[gidx]
+        er_chunk = jax.lax.dynamic_slice(er_pad, (row0, 0), (out_len, H))
+        wg = None
+        if w is not None:
+            wg = (w[jnp.minimum(perm, E - 1)].astype(jnp.float32)
+                  * (perm < E)[:, None])
+        out = _gat_chunk_call(win, lr, zg, er_chunk, wg, tr=tr, te=te,
+                              bc=bc, wc=wc, H=H, D=D, slope=slope, mode=mode)
+        rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)[:, None]
+        cur = jax.lax.dynamic_slice(acc, (row0, 0), (out_len, out_w))
+        cn, cd, cm = cur[:, :HD], cur[:, HD:HD + H], cur[:, HD + H:]
+        on_, od, om = out[:, :HD], out[:, HD:HD + H], out[:, HD + H:]
+        M = jnp.maximum(cm, om)
+        s1, s2 = jnp.exp(cm - M), jnp.exp(om - M)
+        new = jnp.concatenate(
+            [cn * jnp.repeat(s1, D, axis=1, total_repeat_length=HD)
+             + on_ * jnp.repeat(s2, D, axis=1, total_repeat_length=HD),
+             cd * s1 + od * s2, M], axis=1)
+        new = jnp.where(rowmask, new, cur)
+        return jax.lax.dynamic_update_slice(acc, new, (row0, 0)), None
+
+    if C == 1:
+        acc, _ = body(init, tuple(a[0] for a in plan_arrays))
+    else:
+        acc, _ = jax.lax.scan(body, init, tuple(plan_arrays))
+    acc = acc[:num_rows]
+    num, den, m = acc[:, :HD], acc[:, HD:HD + H], acc[:, HD + H:]
+    rst = num / jnp.repeat(jnp.where(den > 0, den, 1.0), D, axis=1,
+                           total_repeat_length=HD)
+    return rst, den, m
+
+
+# ---------------------------------------------------------------------------
+# custom VJP
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, z, er, w, src, dst,
+               *plan_arrays):
+    rst, _, _ = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
+                             w if has_w else None, src.shape[0], slope, mode)
+    return rst
+
+
+def _gat_fused_fwd(meta_fwd, meta_rev, slope, has_w, mode, z, er, w, src,
+                   dst, *plan_arrays):
+    rst, den, m = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
+                               w if has_w else None, src.shape[0], slope,
+                               mode)
+    return rst, (z, er, w, src, dst, plan_arrays, rst, den, m)
+
+
+def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, res, g):
+    z, er, w, src, dst, plan_arrays, rst, den, m = res
+    E = src.shape[0]
+    H = er.shape[1]
+    HD = z.shape[1] - H
+    D = HD // H
+    N_dst = er.shape[0]
+    dout = g.astype(jnp.float32)
+
+    # sds[v] = sum_h' <rst_vh, dout_vh> per head (dense)
+    sds = (rst.reshape(N_dst, H, D) * dout.reshape(N_dst, H, D)).sum(-1)
+
+    # two fused edge gathers (per-row cost is width-independent)
+    zsrc = z[src].astype(jnp.float32)                         # (E, HD+H)
+    zdst = jnp.concatenate(
+        [dout, er.astype(jnp.float32), m, den, sds], axis=1)[dst]
+    fs, el_s = zsrc[:, :HD], zsrc[:, HD:]
+    do_d = zdst[:, :HD]
+    er_d = zdst[:, HD:HD + H]
+    m_d = zdst[:, HD + H:HD + 2 * H]
+    l_d = zdst[:, HD + 2 * H:HD + 3 * H]
+    sds_d = zdst[:, HD + 3 * H:]
+
+    raw = el_s + er_d
+    logit = jnp.where(raw >= 0, raw, np.float32(slope) * raw)
+    a = jnp.exp(logit - m_d) / jnp.where(l_d > 0, l_d, 1.0)   # (E, H)
+    daw = (fs.reshape(E, H, D) * do_d.reshape(E, H, D)).sum(-1)
+    if has_w:
+        wf = w.astype(jnp.float32)
+        aw, da, dw = a * wf, daw * wf, (a * daw).astype(w.dtype)
+    else:
+        aw, da, dw = a, daw, jnp.zeros_like(w)
+    dlogit = a * (da - sds_d)
+    draw = dlogit * jnp.where(raw >= 0, 1.0, np.float32(slope))
+
+    # der[v] = sum_{e->v} draw_e  (dst-sorted segment sum)
+    der = jax.ops.segment_sum(draw, dst, N_dst,
+                              indices_are_sorted=True).astype(er.dtype)
+
+    # one reverse-plan pass: [d(Wh) || d(el)] = reduce_u [dout || 1] * [aw || draw]
+    node_rev = jnp.concatenate(
+        [dout, jnp.ones((N_dst, H), jnp.float32)], axis=1)
+    w_rev = jnp.concatenate(
+        [jnp.repeat(aw, D, axis=1, total_repeat_length=HD), draw], axis=1)
+    out_rev = _run_direction(plan_arrays[N_PLAN_ARRAYS:], meta_rev,
+                             node_rev, w_rev, E, mode)        # (N_src, HD+H)
+    dz = out_rev.astype(z.dtype)
+
+    zeros = tuple(np.zeros(a_.shape, jax.dtypes.float0) for a_ in plan_arrays)
+    return (dz, der, dw,
+            np.zeros(src.shape, jax.dtypes.float0),
+            np.zeros(dst.shape, jax.dtypes.float0)) + zeros
+
+
+_gat_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)
+
+_gat_fused_jit = jax.jit(_gat_fused, static_argnums=(0, 1, 2, 3, 4))
+
+
+def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
+                         src: Array, dst: Array, fsrc: Array, el: Array,
+                         er: Array, attn_w: Optional[Array] = None,
+                         negative_slope: float = 0.2,
+                         mode: str = "f32x2") -> Array:
+    """Fused GAT edge phase: softmax_dst(leaky_relu(el[u]+er[v])) * Wh[u],
+    summed over incoming edges.
+
+    fsrc (N_src, H, D); el (N_src, H); er (N_dst, H);
+    attn_w optional (E, H) post-softmax multiplier (attention dropout) in
+    internal edge order.  Returns (N_dst, H, D) in fsrc.dtype.
+    """
+    meta_fwd, meta_rev = plan_meta
+    N_src, H, D = fsrc.shape
+    z = jnp.concatenate(
+        [fsrc.reshape(N_src, H * D).astype(jnp.float32),
+         el.astype(jnp.float32)], axis=1)
+    has_w = attn_w is not None
+    w = attn_w if has_w else jnp.zeros((0, H), fsrc.dtype)
+    rst = _gat_fused_jit(meta_fwd, meta_rev, float(negative_slope), has_w,
+                         mode, z, er.astype(jnp.float32), w, src, dst,
+                         *plan_arrays)
+    return rst.astype(fsrc.dtype).reshape(-1, H, D)

@@ -1,0 +1,144 @@
+"""Fused flash-GAT Pallas kernel vs the composed XLA path (oracle), in
+interpret mode on CPU — forward values AND gradients, including the
+cross-chunk online-softmax combine for hub windows."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dgl_hack_tpu as dgl
+from dgl_hack_tpu.ops.gat import gat_attention
+from dgl_hack_tpu.ops.pallas.gat_kernel import gat_attention_pallas
+
+
+def _prep(rng, num_nodes=300, num_edges=2000, hub=0, te=256, bc=8, wc=2):
+    src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    dst = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    if hub:
+        dst[:hub] = 7            # one hub node -> window split over chunks
+    g = dgl.graph((src, dst), num_nodes=num_nodes)
+    gp = dgl.prepare_spmm(g, te=te, bc=bc, wc=wc)
+    return g, gp
+
+
+def _oracle(g, fsrc, el, er, slope, attn_w=None):
+    e = dgl.gsddmm(g, "add", el[:, :, None], er[:, :, None], "u", "v")
+    e = jax.nn.leaky_relu(e, slope)
+    a = dgl.edge_softmax(g, e)
+    if attn_w is not None:
+        a = a * attn_w[:, :, None]
+    return dgl.gspmm(g, "mul", "sum", fsrc, a, "u", "e")
+
+
+def _rand(rng, g, H, D, scale=1.0):
+    N = g.num_nodes()
+    fsrc = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+    el = jnp.asarray((scale * rng.normal(size=(N, H))).astype(np.float32))
+    er = jnp.asarray((scale * rng.normal(size=(N, H))).astype(np.float32))
+    return fsrc, el, er
+
+
+@pytest.mark.parametrize("H,D", [(1, 16), (4, 16), (8, 7)])
+def test_gat_fused_forward(rng, H, D):
+    g, gp = _prep(rng)
+    fsrc, el, er = _rand(rng, g, H, D)
+    ref = _oracle(g, fsrc, el, er, 0.2)
+    out = gat_attention(gp, fsrc, el, er, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gat_fused_hub_chunks(rng):
+    """Hub window split across chunks exercises the softmax combine."""
+    g, gp = _prep(rng, num_nodes=500, num_edges=6000, hub=3000,
+                  te=128, bc=8, wc=2)
+    assert gp.spmm_plan_meta[0][4] > 2
+    fsrc, el, er = _rand(rng, g, 2, 8, scale=3.0)
+    ref = _oracle(g, fsrc, el, er, 0.2)
+    out = gat_attention(gp, fsrc, el, er, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gat_fused_isolated_nodes(rng):
+    """Zero in-degree rows must be exactly zero (DGL zero-fill)."""
+    src = np.array([0, 1, 2], np.int32)
+    dst = np.array([5, 5, 6], np.int32)
+    g = dgl.graph((src, dst), num_nodes=200)
+    gp = dgl.prepare_spmm(g, te=128, bc=8, wc=2)
+    fsrc, el, er = _rand(np.random.default_rng(0), g, 2, 4)
+    out = gat_attention(gp, fsrc, el, er, 0.2)
+    ref = _oracle(g, fsrc, el, er, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    assert float(jnp.abs(out[10:]).max()) == 0.0
+
+
+def test_gat_fused_grads(rng):
+    g, gp = _prep(rng, num_nodes=200, num_edges=1500, te=128, bc=8, wc=2)
+    H, D = 2, 16
+    fsrc, el, er = _rand(rng, g, H, D)
+    t = jnp.asarray(rng.normal(size=(200, H, D)).astype(np.float32))
+
+    def loss(fn_g, use):
+        def f(fsrc, el, er):
+            out = (gat_attention(fn_g, fsrc, el, er, 0.2) if use == "fused"
+                   else _oracle(fn_g, fsrc, el, er, 0.2))
+            return ((out - t) ** 2).sum()
+        return f
+
+    g_ref = jax.grad(loss(g, "oracle"), argnums=(0, 1, 2))(fsrc, el, er)
+    g_out = jax.grad(loss(gp, "fused"), argnums=(0, 1, 2))(fsrc, el, er)
+    for a, b, name in zip(g_out, g_ref, ("dfsrc", "del", "der")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_gat_fused_attn_dropout_weights(rng):
+    """Post-softmax multiplier (attention dropout) fwd + grad parity."""
+    g, gp = _prep(rng, num_nodes=200, num_edges=1500, te=128, bc=8, wc=2)
+    H, D = 2, 8
+    fsrc, el, er = _rand(rng, g, H, D)
+    E = g.num_edges()
+    w = jnp.asarray(
+        (rng.random((E, H)) > 0.3).astype(np.float32) / 0.7)
+
+    ref = _oracle(g, fsrc, el, er, 0.2, w)
+    out = gat_attention(gp, fsrc, el, er, 0.2, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    def loss_fused(w):
+        return (gat_attention(gp, fsrc, el, er, 0.2, w) ** 2).sum()
+
+    def loss_ref(w):
+        return (_oracle(g, fsrc, el, er, 0.2, w) ** 2).sum()
+
+    dw_f = jax.grad(loss_fused)(w)
+    dw_r = jax.grad(loss_ref)(w)
+    np.testing.assert_allclose(np.asarray(dw_f), np.asarray(dw_r),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_gat_fused_large_logits_stable(rng):
+    """Online max keeps exp() finite for large logit magnitudes."""
+    g, gp = _prep(rng, num_nodes=200, num_edges=1500, te=128, bc=8, wc=2)
+    fsrc, el, er = _rand(rng, g, 2, 8, scale=30.0)
+    ref = _oracle(g, fsrc, el, er, 0.2)
+    out = gat_attention(gp, fsrc, el, er, 0.2)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_gatconv_fused_matches_unfused(rng):
+    """GATConv on a prepared graph == GATConv on the bare graph."""
+    from dgl_hack_tpu.nn import GATConv
+    g, gp = _prep(rng, num_nodes=150, num_edges=900, te=128, bc=8, wc=2)
+    x = jnp.asarray(rng.normal(size=(150, 12)).astype(np.float32))
+    layer = GATConv(out_feats=8, num_heads=4)
+    params = layer.init(jax.random.PRNGKey(0), g, x)
+    ref = layer.apply(params, g, x)
+    out = layer.apply(params, gp, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
