@@ -53,9 +53,11 @@ def gat_attention(g, fsrc: Array, el: Array, er: Array,
     if _fused_eligible(g, fsrc, el, er):
         from ..utils.env import get_config
         from .pallas.gat_kernel import gat_attention_pallas
+        cfg = get_config()
         return gat_attention_pallas(
             g.spmm_plan_meta, g.spmm_plan_arrays, g.src, g.dst, fsrc, el,
-            er, attn_w, negative_slope, mode=get_config().spmm_mode)
+            er, attn_w, negative_slope, mode=cfg.spmm_mode,
+            softmax=cfg.gat_softmax)
     # composed XLA fallback (also the test oracle)
     e = gsddmm(g, "add", el[:, :, None], er[:, :, None], "u", "v")
     e = jax.nn.leaky_relu(e, negative_slope)

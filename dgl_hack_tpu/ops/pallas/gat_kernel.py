@@ -153,31 +153,87 @@ def _gat_kernel(window_ref, lr_ref, z_ref, er_ref, *rest, tr: int, te: int,
              new_m], axis=1)
 
 
+def _gat_kernel_shift(window_ref, lr_ref, z_ref, ec_ref, *rest, tr: int,
+                      te: int, H: int, D: int, slope: float, mode: str,
+                      has_w: bool):
+    """Shift-mode variant: subtract the precomputed dense upper bound
+    c[v] = leaky(max(el) + er[v]) instead of the online max.  Softmax is
+    shift-invariant, so the result is exact (bar exp underflow for
+    per-dst logit spreads > ~80); no scratch, no rescale — plain
+    accumulation like the spmm kernel.  This matches the reference
+    fork's fused GAT, which subtracts no max at all (reference:
+    src/kernel/cuda/binary_reduce_impl.cu:52)."""
+    if has_w:
+        w_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    HD = H * D
+    b = pl.program_id(0)
+    lr = lr_ref[jax.lax.rem(b, 8), :]                       # (TE,)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
+    S = rows == lr[None, :]                                  # (TR, TE)
+    lr_col = jnp.broadcast_to(lr[:, None], (te, tr))
+    St = lr_col == jax.lax.broadcasted_iota(jnp.int32, (te, tr), 1)
+    validH = jnp.broadcast_to(lr[:, None], (te, H)) < tr     # (TE, H)
+
+    z = z_ref[:]                                             # (TE, HD+H)
+    el_e = z[:, HD:HD + H]                                   # (TE, H)
+    ec = _mxu_sel(St, ec_ref[:], mode)                       # (TE, 2H)
+    er_e, c_e = ec[:, :H], ec[:, H:]
+    raw = el_e + er_e
+    logit = jnp.where(raw >= 0, raw, np.float32(slope) * raw)
+    logit = jnp.where(validH, logit, _NEG)
+    p = jnp.exp(logit - c_e)                                 # <= 1; pad -> 0
+    pw = p * w_ref[:] if has_w else p
+
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // D
+    head_h = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+    R = lane_h == head_h
+    p_exp = _mxu_sel_t(pw, R, mode)                          # (TE, HD)
+    wz = z[:, :HD] * p_exp
+    contrib = jnp.concatenate(
+        [_mxu_sel(S, wz, mode), _mxu_sel(S, p, mode)], axis=1)
+
+    prev = window_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, window_ref[b] != prev)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
 def _gat_chunk_call(win: Array, lr: Array, z_g: Array, er_chunk: Array,
                     w_g: Optional[Array], *, tr: int, te: int, bc: int,
-                    wc: int, H: int, D: int, slope: float,
-                    mode: str) -> Array:
+                    wc: int, H: int, D: int, slope: float, mode: str,
+                    softmax: str) -> Array:
     width_in = z_g.shape[1]
-    out_w = H * D + 2 * H
+    er_w = er_chunk.shape[1]                 # H (exact) or 2H ([er||c])
+    out_w = H * D + (2 * H if softmax == "exact" else H)
     has_w = w_g is not None
     in_specs = [
         pl.BlockSpec((8, te), lambda b, w: (b // 8, 0)),
         pl.BlockSpec((te, width_in), lambda b, w: (b, 0)),
-        pl.BlockSpec((tr, H), lambda b, w: (w[b], 0)),
+        pl.BlockSpec((tr, er_w), lambda b, w: (w[b], 0)),
     ]
     operands = [lr, z_g, er_chunk]
     if has_w:
         in_specs.append(pl.BlockSpec((te, H), lambda b, w: (b, 0)))
         operands.append(w_g)
+    kern = _gat_kernel if softmax == "exact" else _gat_kernel_shift
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bc,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tr, out_w), lambda b, w: (w[b], 0)),
-        scratch_shapes=[pltpu.VMEM((tr, H), jnp.float32)],
+        scratch_shapes=([pltpu.VMEM((tr, H), jnp.float32)]
+                        if softmax == "exact" else []),
     )
     return pl.pallas_call(
-        functools.partial(_gat_kernel, tr=tr, te=te, H=H, D=D, slope=slope,
+        functools.partial(kern, tr=tr, te=te, H=H, D=D, slope=slope,
                           mode=mode, has_w=has_w),
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((wc * tr, out_w), jnp.float32),
@@ -188,49 +244,71 @@ def _gat_chunk_call(win: Array, lr: Array, z_g: Array, er_chunk: Array,
 
 
 def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
-                 w: Optional[Array], E: int, slope: float, mode: str):
-    """Scan chunks; merge chunk-split windows with the online-softmax
-    combine.  Returns (rst (N_dst, HD), den (N_dst, H), m (N_dst, H))."""
+                 w: Optional[Array], E: int, slope: float, mode: str,
+                 softmax: str):
+    """Scan chunks; merge chunk-split windows (online-softmax combine in
+    'exact' mode, plain add in 'shift' mode).  Returns
+    (rst (N_dst, HD), den (N_dst, H), shift (N_dst, H)) where shift is
+    the per-dst subtrahend the backward pass must reuse."""
     num_rows, tr, te, wc, C = meta
     gidx_s, perm_s, lr_s, win_s, row0_s, cover_s = plan_arrays
     H = er.shape[1]
     HD = z.shape[1] - H
     D = HD // H
-    out_w = HD + 2 * H
+    exact = softmax == "exact"
+    out_w = HD + (2 * H if exact else H)
     out_len = wc * tr
     pad_rows = ((num_rows + tr - 1) // tr) * tr + out_len
+    erf = er.astype(jnp.float32)
+    if not exact:
+        # dense upper bound: logit <= leaky(max_u el[u] + er[v]) (leaky
+        # monotone) => exp(logit - c) <= 1; softmax is shift-invariant
+        elmax = jnp.max(z[:, HD:], axis=0) if z.shape[0] else \
+            jnp.zeros((H,), jnp.float32)
+        craw = elmax[None, :] + erf
+        c = jnp.where(craw >= 0, craw, np.float32(slope) * craw)
     if C == 0:
         zero = jnp.zeros((num_rows, HD), jnp.float32)
         return (zero, jnp.zeros((num_rows, H), jnp.float32),
-                jnp.full((num_rows, H), _NEG))
+                c if not exact else jnp.full((num_rows, H), _NEG))
     bc = win_s.shape[1]
-    init = jnp.concatenate(
-        [jnp.zeros((pad_rows, HD + H), jnp.float32),
-         jnp.full((pad_rows, H), _NEG)], axis=1)
-    er_pad = jnp.zeros((pad_rows, H), jnp.float32).at[:er.shape[0]].set(
-        er.astype(jnp.float32))
+    if exact:
+        init = jnp.concatenate(
+            [jnp.zeros((pad_rows, HD + H), jnp.float32),
+             jnp.full((pad_rows, H), _NEG)], axis=1)
+        er_in = erf
+    else:
+        init = jnp.zeros((pad_rows, out_w), jnp.float32)
+        er_in = jnp.concatenate([erf, c], axis=1)
+    er_pad = jnp.zeros((pad_rows, er_in.shape[1]), jnp.float32
+                       ).at[:er.shape[0]].set(er_in)
 
     def body(acc, xs):
         gidx, perm, lr, win, row0, cover = xs
         zg = z[gidx]
-        er_chunk = jax.lax.dynamic_slice(er_pad, (row0, 0), (out_len, H))
+        er_chunk = jax.lax.dynamic_slice(
+            er_pad, (row0, 0), (out_len, er_pad.shape[1]))
         wg = None
         if w is not None:
             wg = (w[jnp.minimum(perm, E - 1)].astype(jnp.float32)
                   * (perm < E)[:, None])
         out = _gat_chunk_call(win, lr, zg, er_chunk, wg, tr=tr, te=te,
-                              bc=bc, wc=wc, H=H, D=D, slope=slope, mode=mode)
+                              bc=bc, wc=wc, H=H, D=D, slope=slope,
+                              mode=mode, softmax=softmax)
         rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)[:, None]
         cur = jax.lax.dynamic_slice(acc, (row0, 0), (out_len, out_w))
-        cn, cd, cm = cur[:, :HD], cur[:, HD:HD + H], cur[:, HD + H:]
-        on_, od, om = out[:, :HD], out[:, HD:HD + H], out[:, HD + H:]
-        M = jnp.maximum(cm, om)
-        s1, s2 = jnp.exp(cm - M), jnp.exp(om - M)
-        new = jnp.concatenate(
-            [cn * jnp.repeat(s1, D, axis=1, total_repeat_length=HD)
-             + on_ * jnp.repeat(s2, D, axis=1, total_repeat_length=HD),
-             cd * s1 + od * s2, M], axis=1)
-        new = jnp.where(rowmask, new, cur)
+        if exact:
+            cn, cd, cm = cur[:, :HD], cur[:, HD:HD + H], cur[:, HD + H:]
+            on_, od, om = out[:, :HD], out[:, HD:HD + H], out[:, HD + H:]
+            M = jnp.maximum(cm, om)
+            s1, s2 = jnp.exp(cm - M), jnp.exp(om - M)
+            new = jnp.concatenate(
+                [cn * jnp.repeat(s1, D, axis=1, total_repeat_length=HD)
+                 + on_ * jnp.repeat(s2, D, axis=1, total_repeat_length=HD),
+                 cd * s1 + od * s2, M], axis=1)
+            new = jnp.where(rowmask, new, cur)
+        else:
+            new = cur + jnp.where(rowmask, out, 0.0)
         return jax.lax.dynamic_update_slice(acc, new, (row0, 0)), None
 
     if C == 1:
@@ -238,32 +316,34 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     else:
         acc, _ = jax.lax.scan(body, init, tuple(plan_arrays))
     acc = acc[:num_rows]
-    num, den, m = acc[:, :HD], acc[:, HD:HD + H], acc[:, HD + H:]
+    num, den = acc[:, :HD], acc[:, HD:HD + H]
+    shift = acc[:, HD + H:] if exact else c
     rst = num / jnp.repeat(jnp.where(den > 0, den, 1.0), D, axis=1,
                            total_repeat_length=HD)
-    return rst, den, m
+    return rst, den, shift
 
 
 # ---------------------------------------------------------------------------
 # custom VJP
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, z, er, w, src, dst,
-               *plan_arrays):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, z, er, w,
+               src, dst, *plan_arrays):
     rst, _, _ = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
-                             w if has_w else None, src.shape[0], slope, mode)
+                             w if has_w else None, src.shape[0], slope,
+                             mode, softmax)
     return rst
 
 
-def _gat_fused_fwd(meta_fwd, meta_rev, slope, has_w, mode, z, er, w, src,
-                   dst, *plan_arrays):
+def _gat_fused_fwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, z, er,
+                   w, src, dst, *plan_arrays):
     rst, den, m = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
                                w if has_w else None, src.shape[0], slope,
-                               mode)
+                               mode, softmax)
     return rst, (z, er, w, src, dst, plan_arrays, rst, den, m)
 
 
-def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, res, g):
+def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, res, g):
     z, er, w, src, dst, plan_arrays, rst, den, m = res
     E = src.shape[0]
     H = er.shape[1]
@@ -319,14 +399,15 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, res, g):
 
 _gat_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)
 
-_gat_fused_jit = jax.jit(_gat_fused, static_argnums=(0, 1, 2, 3, 4))
+_gat_fused_jit = jax.jit(_gat_fused, static_argnums=(0, 1, 2, 3, 4, 5))
 
 
 def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
                          src: Array, dst: Array, fsrc: Array, el: Array,
                          er: Array, attn_w: Optional[Array] = None,
                          negative_slope: float = 0.2,
-                         mode: str = "f32x2") -> Array:
+                         mode: str = "f32x2",
+                         softmax: str = "shift") -> Array:
     """Fused GAT edge phase: softmax_dst(leaky_relu(el[u]+er[v])) * Wh[u],
     summed over incoming edges.
 
@@ -342,6 +423,6 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
     has_w = attn_w is not None
     w = attn_w if has_w else jnp.zeros((0, H), fsrc.dtype)
     rst = _gat_fused_jit(meta_fwd, meta_rev, float(negative_slope), has_w,
-                         mode, z, er.astype(jnp.float32), w, src, dst,
-                         *plan_arrays)
+                         mode, softmax, z, er.astype(jnp.float32), w, src,
+                         dst, *plan_arrays)
     return rst.astype(fsrc.dtype).reshape(-1, H, D)

@@ -177,14 +177,27 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-def _reduce_kernel(window_ref, lr_ref, m_ref, out_ref, *, tr: int, te: int,
-                   mode: str):
+def _reduce_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
+                   mode: str, w_kind: str = "none"):
+    # optional per-edge weight multiplied in VMEM: materialising m*w in
+    # HBM costs a full (slots x F) round-trip, and XLA's broadcast of an
+    # (E,1) weight into the multiply degrades to per-element gathering
+    # (measured 2.7x slower than copy_u at F=512)
+    if w_kind == "none":
+        (out_ref,) = rest
+    else:
+        w_ref, out_ref = rest
     b = pl.program_id(1)
     # lr block is (8, TE) — 8 consecutive blocks' rows share one fetch
     # (2-D int32 tiling allows TE < 1024, unlike 1-D's forced 1024 tile)
     lr = lr_ref[jax.lax.rem(b, 8), :]                    # (TE,) int32
     rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
     m = m_ref[:]
+    if w_kind == "scalar":
+        w1 = w_ref[jax.lax.rem(b, 8), :]                 # (TE,) f32
+        m = m * jnp.broadcast_to(w1[:, None], m.shape)
+    elif w_kind == "full":
+        m = m * w_ref[:]
 
     if mode == "f32x2":
         # f32 ~= hi + lo with both terms exactly representable in bf16:
@@ -228,28 +241,38 @@ def _pick_ft(F: int) -> int:
     return F
 
 
-def _reduce_call(m: Array, local_row: Array, window: Array, *,
+def _reduce_call(m: Array, local_row: Array, window: Array,
+                 w: Optional[Array] = None, w_kind: str = "none", *,
                  tr: int, te: int, num_windows: int, num_blocks: int,
                  mode: str = "f32x2") -> Array:
     F = m.shape[1]
     ft = _pick_ft(F)
+    in_specs = [
+        pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)),
+        pl.BlockSpec((te, ft), lambda f, b, win: (b, f)),
+    ]
+    operands = [local_row, m]
+    if w_kind == "scalar":
+        in_specs.append(pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)))
+        operands.append(w)
+    elif w_kind == "full":
+        in_specs.append(pl.BlockSpec((te, ft), lambda f, b, win: (b, f)))
+        operands.append(w)
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(max(1, F // ft), num_blocks),
-        in_specs=[
-            pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)),
-            pl.BlockSpec((te, ft), lambda f, b, win: (b, f)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)),
     )
     return pl.pallas_call(
-        functools.partial(_reduce_kernel, tr=tr, te=te, mode=mode),
+        functools.partial(_reduce_kernel, tr=tr, te=te, mode=mode,
+                          w_kind=w_kind),
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((num_windows * tr, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_interpret(),
-    )(window, local_row, m)
+    )(window, *operands)
 
 
 # ---------------------------------------------------------------------------
@@ -274,13 +297,18 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
     def body(acc, xs):
         gidx, perm, lr, win, row0, cover = xs
         m = node_vals[gidx]
+        w_in, w_kind = None, "none"
         if weights is not None:
-            w = weights[jnp.minimum(perm, E - 1)]
-            if w.ndim == 1:
-                w = w[:, None]
-            m = m * w
-        out = _reduce_call(m, lr, win, tr=tr, te=te, num_windows=wc,
-                           num_blocks=bc, mode=mode)
+            wv = weights if weights.ndim > 1 else weights[:, None]
+            if wv.shape[-1] == 1:
+                w_in = (wv[jnp.minimum(perm, E - 1), 0].astype(jnp.float32)
+                        * (perm < E)).reshape(bc, te)
+                w_kind = "scalar"
+            else:
+                w_in = wv[jnp.minimum(perm, E - 1)]
+                w_kind = "full"
+        out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
+                           num_windows=wc, num_blocks=bc, mode=mode)
         rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
         out = jnp.where(rowmask[:, None], out, 0.0)
         cur = jax.lax.dynamic_slice(acc, (row0, 0), (out_len, F))

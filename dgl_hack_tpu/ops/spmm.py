@@ -75,7 +75,12 @@ def gspmm(g, op: str, reduce_op: str,
         w = None
         if op == "mul":
             w = rhs_data
-            if w.ndim > 1 and w.shape[1:] != lhs_data.shape[1:]:
+            if w.ndim > 1 and all(s == 1 for s in w.shape[1:]):
+                # one scalar per edge: keep it scalar — the kernel
+                # multiplies in VMEM (broadcasting to full feature width
+                # here costs a (slots x F) HBM round-trip)
+                w = w.reshape(w.shape[0])
+            elif w.ndim > 1 and w.shape[1:] != lhs_data.shape[1:]:
                 w = jnp.broadcast_to(
                     w, (w.shape[0],) + jnp.broadcast_shapes(
                         w.shape[1:], lhs_data.shape[1:]))

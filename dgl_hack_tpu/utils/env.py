@@ -7,6 +7,13 @@ equivalents:
   DGL_TPU_DOWNLOAD_DIR / DGL_DOWNLOAD_DIR  dataset cache directory
   DGL_TPU_SPMM_MODE    pallas gspmm precision: f32x2 | fast | highest
   DGL_TPU_DISABLE_PALLAS  "1" forces the XLA segment-op path
+  DGL_TPU_GAT_SOFTMAX  fused-GAT shift strategy: shift | exact.  'shift'
+      (default) subtracts the dense upper bound leaky(max(el)+er[v]) —
+      softmax output is shift-invariant, so the result is exact unless
+      per-dst logit spread exceeds ~80 (exp underflow); it matches the
+      reference fork's fused GAT (no max subtraction at all) and skips
+      the online-max machinery.  'exact' runs the flash-style running
+      max (robust to any logit spread).
 """
 from __future__ import annotations
 
@@ -19,6 +26,7 @@ class Config:
     download_dir: str
     spmm_mode: str = "f32x2"
     disable_pallas: bool = False
+    gat_softmax: str = "shift"
 
 
 def get_config() -> Config:
@@ -30,4 +38,5 @@ def get_config() -> Config:
                                         ".dgl_tpu"))),
         spmm_mode=os.environ.get("DGL_TPU_SPMM_MODE", "f32x2"),
         disable_pallas=os.environ.get("DGL_TPU_DISABLE_PALLAS", "0") == "1",
+        gat_softmax=os.environ.get("DGL_TPU_GAT_SOFTMAX", "shift"),
     )
