@@ -127,7 +127,9 @@ class Graph:
                  batch_num_nodes: Optional[Tuple[int, ...]] = None,
                  batch_num_edges: Optional[Tuple[int, ...]] = None,
                  spmm_plan_arrays: Optional[Tuple[Array, ...]] = None,
-                 spmm_plan_meta: Optional[Tuple] = None):
+                 spmm_plan_meta: Optional[Tuple] = None,
+                 spmm_hybrid_arrays: Optional[Tuple[Array, ...]] = None,
+                 spmm_hybrid_meta: Optional[Tuple] = None):
         self._num_src = int(num_src)
         self._num_dst = int(num_dst)
         self.src = src
@@ -149,6 +151,10 @@ class Graph:
         # arrays ride the pytree; meta is static aux
         self.spmm_plan_arrays = spmm_plan_arrays
         self.spmm_plan_meta = spmm_plan_meta
+        # hybrid dense-hub plan (dense C matmul for hub dst-windows +
+        # sparse remainder plan) for unweighted copy_u aggregation
+        self.spmm_hybrid_arrays = spmm_hybrid_arrays
+        self.spmm_hybrid_meta = spmm_hybrid_meta
 
     # -- basic properties ---------------------------------------------------
     @property
@@ -246,15 +252,19 @@ class Graph:
             else len(self.spmm_plan_arrays)
         if n_plan:
             leaves += list(self.spmm_plan_arrays)
+        n_hyb = 0 if self.spmm_hybrid_arrays is None \
+            else len(self.spmm_hybrid_arrays)
+        if n_hyb:
+            leaves += list(self.spmm_hybrid_arrays)
         aux = (self._num_src, self._num_dst, self.is_block, opt_present,
                frame_keys, ekeys, self.batch_num_nodes, self.batch_num_edges,
-               n_plan, self.spmm_plan_meta)
+               n_plan, self.spmm_plan_meta, n_hyb, self.spmm_hybrid_meta)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         (num_src, num_dst, is_block, opt_present, frame_keys, ekeys,
-         bnn, bne, n_plan, plan_meta) = aux
+         bnn, bne, n_plan, plan_meta, n_hyb, hyb_meta) = aux
         leaves = list(leaves)
         src, dst, csc_indptr = leaves[:3]
         i = 3
@@ -269,11 +279,14 @@ class Graph:
         edge_frame = {k: leaves[i + j] for j, k in enumerate(ekeys)}
         i += len(ekeys)
         plan_arrays = tuple(leaves[i:i + n_plan]) if n_plan else None
+        i += n_plan
+        hyb_arrays = tuple(leaves[i:i + n_hyb]) if n_hyb else None
         return cls(num_src=num_src, num_dst=num_dst, src=src, dst=dst,
                    csc_indptr=csc_indptr, is_block=is_block,
                    node_frames=tuple(node_frames), edge_frame=edge_frame,
                    batch_num_nodes=bnn, batch_num_edges=bne,
                    spmm_plan_arrays=plan_arrays, spmm_plan_meta=plan_meta,
+                   spmm_hybrid_arrays=hyb_arrays, spmm_hybrid_meta=hyb_meta,
                    **opts)
 
     def replace(self, **kw) -> "Graph":
@@ -287,7 +300,9 @@ class Graph:
                       batch_num_nodes=self.batch_num_nodes,
                       batch_num_edges=self.batch_num_edges,
                       spmm_plan_arrays=self.spmm_plan_arrays,
-                      spmm_plan_meta=self.spmm_plan_meta)
+                      spmm_plan_meta=self.spmm_plan_meta,
+                      spmm_hybrid_arrays=self.spmm_hybrid_arrays,
+                      spmm_hybrid_meta=self.spmm_hybrid_meta)
         fields.update(kw)
         return Graph(**fields)
 

@@ -431,19 +431,257 @@ def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
     return out.reshape((out.shape[0],) + shape[1:])
 
 
+# ---------------------------------------------------------------------------
+# hybrid dense-hub plan: dense C matmul for hub dst-windows, sparse remainder
+# ---------------------------------------------------------------------------
+# Power-law graphs concentrate edge mass on few destinations (the load
+# imbalance the fork's NbAccess CUDA experiments probe, reference:
+# src/kernel/cuda/binary_reduce_impl.cu:445-778).  On TPU the random row
+# gather is issue-rate-bound (~7.3 ns/row, KERNELS.md), so for a hot
+# 128-row dst window it is cheaper to store a dense count matrix
+# C (128, num_src) in bf16 (counts are small ints: exact) and compute the
+# whole window as one MXU matmul C @ x — bandwidth-bound on the C read,
+# ~0.03 ns/edge for a 9M-edge hub window vs 7.3 ns/edge gathered.  This is
+# the GPU HYB (ELL+COO) format idea recast for the MXU: rows above a
+# density breakeven go dense, the tail stays on the sparse block plan.
+# Applies to unweighted copy_u (GCN/SAGE aggregation): C is static per
+# graph.  Weighted ops (u_mul_e) keep the full sparse plan.
+
+GATHER_NS_PER_ROW = 7.3          # measured, KERNELS.md
+HBM_BYTES_PER_S = 819e9          # v5e
+
+
+def _dense_breakeven(num_src: int, tr: int, passes: int = 2) -> int:
+    """Edges/window above which reading a dense bf16 C row-block beats
+    gathering the window's source rows."""
+    read_s = passes * tr * num_src * 2 / HBM_BYTES_PER_S
+    return max(4 * tr, int(read_s / (GATHER_NS_PER_ROW * 1e-9)))
+
+
+def select_dense_windows(csc_indptr: np.ndarray, num_src: int, num_dst: int,
+                         tr: int, threshold: Optional[int] = None,
+                         budget_bytes: int = 3 << 30) -> np.ndarray:
+    """Window ids to densify, heaviest first, within the HBM budget."""
+    W = max(1, -(-num_dst // tr))
+    bounds = np.minimum(np.arange(W + 1) * tr, num_dst)
+    cnt = (csc_indptr[bounds[1:]] - csc_indptr[bounds[:-1]]).astype(np.int64)
+    thr = _dense_breakeven(num_src, tr) if threshold is None else threshold
+    per_win_bytes = tr * num_src * 2
+    max_wins = int(budget_bytes // max(per_win_bytes, 1))
+    cand = np.nonzero(cnt >= max(thr, 1))[0]
+    if cand.size == 0 or max_wins == 0:
+        return np.zeros(0, np.int64)
+    order = cand[np.argsort(cnt[cand])[::-1]]
+    return np.sort(order[:max_wins])
+
+
+def _dense_matmul(C: Array, x: Array, mode: str) -> Array:
+    """(R, N) bf16 count matrix @ (N, F) features -> (R, F) f32."""
+    if mode == "highest":
+        return jnp.dot(C.astype(jnp.float32), x.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if mode == "fast":
+        return jnp.dot(C, x.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    xf = x.astype(jnp.float32)
+    hi = xf.astype(jnp.bfloat16)
+    lo = (xf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(C, hi, preferred_element_type=jnp.float32)
+            + jnp.dot(C, lo, preferred_element_type=jnp.float32))
+
+
+def _dense_matmul_t(C: Array, g: Array, mode: str) -> Array:
+    """C^T @ g: (R, N)^T @ (R, F) -> (N, F) f32 (backward)."""
+    dn = (((0,), (0,)), ((), ()))
+    if mode == "highest":
+        return jax.lax.dot_general(C.astype(jnp.float32),
+                                   g.astype(jnp.float32), dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    if mode == "fast":
+        return jax.lax.dot_general(C, g.astype(jnp.bfloat16), dn,
+                                   preferred_element_type=jnp.float32)
+    gf = g.astype(jnp.float32)
+    hi = gf.astype(jnp.bfloat16)
+    lo = (gf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jax.lax.dot_general(C, hi, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(C, lo, dn,
+                                  preferred_element_type=jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gspmm_hybrid(meta_fwd, meta_rev, mode, x, *arrays):
+    rem_fwd = arrays[:N_PLAN_ARRAYS]
+    C, rows = arrays[2 * N_PLAN_ARRAYS], arrays[2 * N_PLAN_ARRAYS + 1]
+    out = _run_direction(rem_fwd, meta_fwd, x, None, 0, mode)
+    d = _dense_matmul(C, x, mode)
+    return out.at[rows].add(d.astype(out.dtype))
+
+
+def _gspmm_hybrid_fwd(meta_fwd, meta_rev, mode, x, *arrays):
+    return _gspmm_hybrid(meta_fwd, meta_rev, mode, x, *arrays), (x, arrays)
+
+
+def _gspmm_hybrid_bwd(meta_fwd, meta_rev, mode, res, g):
+    x, arrays = res
+    rem_rev = arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS]
+    C, rows = arrays[2 * N_PLAN_ARRAYS], arrays[2 * N_PLAN_ARRAYS + 1]
+    g = g.astype(jnp.float32)
+    dx = _run_direction(rem_rev, meta_rev, g, None, 0, mode)
+    dx = dx + _dense_matmul_t(C, g[rows], mode)
+    zeros = tuple(np.zeros(a.shape, jax.dtypes.float0) for a in arrays)
+    return (dx.astype(x.dtype),) + zeros
+
+
+_gspmm_hybrid.defvjp(_gspmm_hybrid_fwd, _gspmm_hybrid_bwd)
+
+_gspmm_hybrid_jit = jax.jit(_gspmm_hybrid, static_argnums=(0, 1, 2))
+
+
+def gspmm_hybrid(plan_meta, plan_arrays: Sequence[Array], x: Array,
+                 reduce_op: str = "sum",
+                 in_degrees: Optional[Array] = None,
+                 mode: str = "f32x2") -> Array:
+    """Unweighted copy_u segment-sum via the hybrid dense-hub plan.
+
+    plan_meta = (rem_fwd_meta, rem_rev_meta); plan_arrays = remainder
+    fwd(6) + rev(6) + (C, dense_rows)."""
+    meta_fwd, meta_rev = plan_meta
+    shape = x.shape
+    x2 = x.reshape(shape[0], -1)
+    out = _gspmm_hybrid_jit(meta_fwd, meta_rev, mode, x2, *plan_arrays)
+    out = out.astype(x.dtype)
+    if reduce_op == "mean":
+        deg = jnp.maximum(in_degrees.astype(out.dtype), 1.0)
+        out = out / deg[:, None]
+    elif reduce_op != "sum":
+        raise ValueError(f"hybrid path supports sum/mean, got {reduce_op}")
+    return out.reshape((out.shape[0],) + shape[1:])
+
+
+def _build_dense_C(g, dense_wins: np.ndarray, tr: int,
+                   rows_per_chunk: int = 256) -> Tuple[Array, Array]:
+    """Device-side build of the dense count matrix C (R, num_src) bf16
+    and the (R,) dense output-row ids.  One-time scatter per row-chunk
+    (bounds the f32 staging buffer to rows_per_chunk x num_src)."""
+    num_src, num_dst = g.num_src_nodes, g.num_dst_nodes
+    row_lists = [np.arange(w * tr, min((w + 1) * tr, num_dst))
+                 for w in dense_wins]
+    rows_np = np.concatenate(row_lists).astype(np.int32) if row_lists \
+        else np.zeros(0, np.int32)
+    R = rows_np.shape[0]
+    # dst -> dense-local row; non-dense rows get a large POSITIVE
+    # out-of-bounds sentinel (negative indices would WRAP in the scatter,
+    # mode="drop" only drops out-of-bounds)
+    row_map = np.full(num_dst, np.int32(1) << 30, np.int32)
+    row_map[rows_np] = np.arange(R, dtype=np.int32)
+    r_all = jnp.asarray(row_map)[g.dst]        # (E,) device, -1 = not dense
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chunk(r_all, src, r0, cr):
+        # rows before this chunk must stay dropped, not wrap negative
+        r_rel = jnp.where(r_all >= r0, r_all - r0, np.int32(1) << 30)
+        c = jnp.zeros((cr, num_src), jnp.float32)
+        return c.at[r_rel, src].add(1.0, mode="drop").astype(jnp.bfloat16)
+
+    parts = []
+    for r0 in range(0, R, rows_per_chunk):
+        cr = min(rows_per_chunk, R - r0)
+        parts.append(chunk(r_all, g.src, r0, cr))
+    C = jnp.concatenate(parts, axis=0) if parts \
+        else jnp.zeros((0, num_src), jnp.bfloat16)
+    return C, jnp.asarray(rows_np)
+
+
+def build_hybrid_plan(g, dense_wins: np.ndarray, tr: int, te: int,
+                      bc: int, wc: int):
+    """Remainder (non-dense-window) edge plans, both directions."""
+    dst = g.host("dst")
+    src = g.host("src")
+    num_src, num_dst = g.num_src_nodes, g.num_dst_nodes
+    W = max(1, -(-num_dst // tr))
+    is_dense_win = np.zeros(W, bool)
+    is_dense_win[dense_wins] = True
+    keep = ~is_dense_win[dst.astype(np.int64) // tr]
+    dst_r, src_r = dst[keep], src[keep]        # still CSC (dst-sorted) order
+    csc_r = np.zeros(num_dst + 1, np.int64)
+    np.cumsum(np.bincount(dst_r, minlength=num_dst), out=csc_r[1:])
+    fwd = build_segment_plan(csc_r, dst_r, src_r, num_dst, tr, te, bc, wc)
+    order = np.argsort(src_r, kind="stable")
+    csr_r = np.zeros(num_src + 1, np.int64)
+    np.cumsum(np.bincount(src_r, minlength=num_src), out=csr_r[1:])
+    rev = build_segment_plan(csr_r, src_r[order], dst_r[order],
+                             num_src, tr, te, bc, wc)
+    return fwd, rev
+
+
+def _check_dense_exact(g, dense_wins: np.ndarray, tr: int) -> np.ndarray:
+    """Drop windows whose per-(dst, src) multiplicity exceeds bf16's exact
+    integer range (256) — multigraph safety."""
+    if dense_wins.size == 0:
+        return dense_wins
+    dst = g.host("dst").astype(np.int64)
+    src = g.host("src").astype(np.int64)
+    win = dst // tr
+    keep = []
+    for w in dense_wins:
+        m = win == w
+        key = dst[m] * g.num_src_nodes + src[m]
+        _, counts = np.unique(key, return_counts=True)
+        if counts.size == 0 or counts.max() <= 256:
+            keep.append(w)
+    return np.asarray(keep, dtype=np.int64)
+
+
 def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
-                 bc: int = DEFAULT_BC, wc: int = DEFAULT_WC):
-    """Attach a Pallas gspmm block plan to a Graph (returns a new Graph
-    sharing all other arrays).  Requires the CSR format (build_csr=True).
+                 bc: int = DEFAULT_BC, wc: int = DEFAULT_WC, *,
+                 weighted: bool = True, dense_hub: bool = True,
+                 dense_threshold: Optional[int] = None,
+                 dense_budget: int = 3 << 30):
+    """Attach Pallas gspmm plans to a Graph (returns a new Graph sharing
+    all other arrays).  Requires the CSR format (build_csr=True).
     One-time host-side cost per graph, analogous to the reference's lazy
-    per-format CSR materialisation (src/graph/unit_graph.cc)."""
+    per-format CSR materialisation (src/graph/unit_graph.cc).
+
+    weighted=True additionally builds the full (all-edge) plan used by
+    u_mul_e-style weighted ops; dense_hub=True densifies hub dst-windows
+    (see select_dense_windows) for the unweighted copy_u path."""
     if g.csr_indptr is None or g.csr_eids is None:
         raise ValueError("prepare_spmm requires the graph's CSR format")
-    plan = build_gspmm_plan(
-        g.host("csc_indptr"), g.host("dst"), g.host("src"),
-        g.host("csr_indptr"), g.host("csr_eids"),
-        g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
-        tr=tr, te=te, bc=bc, wc=wc)
-    arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
-    return g.replace(spmm_plan_arrays=arrays,
-                     spmm_plan_meta=plan.static_meta)
+    out = g
+    if weighted:
+        plan = build_gspmm_plan(
+            g.host("csc_indptr"), g.host("dst"), g.host("src"),
+            g.host("csr_indptr"), g.host("csr_eids"),
+            g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
+            tr=tr, te=te, bc=bc, wc=wc)
+        arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
+        out = out.replace(spmm_plan_arrays=arrays,
+                          spmm_plan_meta=plan.static_meta)
+    if dense_hub and g.edge_mask is None:
+        wins = select_dense_windows(
+            g.host("csc_indptr"), g.num_src_nodes, g.num_dst_nodes, tr,
+            threshold=dense_threshold, budget_bytes=dense_budget)
+        wins = _check_dense_exact(g, wins, tr)
+        if wins.size:
+            fwd, rev = build_hybrid_plan(g, wins, tr, te, bc, wc)
+            C, rows = _build_dense_C(g, wins, tr)
+            arrays = (fwd.device_arrays() + rev.device_arrays()
+                      + (C, rows))
+            out = out.replace(
+                spmm_hybrid_arrays=arrays,
+                spmm_hybrid_meta=(fwd.static_meta, rev.static_meta))
+    if not weighted and (out.spmm_hybrid_arrays is None):
+        # no dense windows found: fall back to the full sparse plan so
+        # copy_u still has a Pallas path
+        plan = build_gspmm_plan(
+            g.host("csc_indptr"), g.host("dst"), g.host("src"),
+            g.host("csr_indptr"), g.host("csr_eids"),
+            g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
+            tr=tr, te=te, bc=bc, wc=wc)
+        arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
+        out = out.replace(spmm_plan_arrays=arrays,
+                          spmm_plan_meta=plan.static_meta)
+    return out

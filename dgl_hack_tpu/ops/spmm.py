@@ -53,6 +53,22 @@ def _pallas_eligible(g, op, reduce_op, lhs_data, rhs_data, lhs_target,
     return True
 
 
+def _hybrid_eligible(g, op, reduce_op, lhs_data, lhs_target) -> bool:
+    """Unweighted copy_u sum/mean via the dense-hub hybrid plan
+    (prepare_spmm dense_hub=True; see ops/pallas/spmm_kernel.py)."""
+    from ..utils.env import get_config
+    if get_config().disable_pallas:
+        return False
+    if getattr(g, "spmm_hybrid_arrays", None) is None \
+            or g.edge_mask is not None:
+        return False
+    if op != "copy_lhs" or lhs_target != "u":
+        return False
+    if reduce_op not in ("sum", "mean"):
+        return False
+    return jnp.issubdtype(jnp.result_type(lhs_data), jnp.floating)
+
+
 def gspmm(g, op: str, reduce_op: str,
           lhs_data: Optional[Array] = None,
           rhs_data: Optional[Array] = None,
@@ -69,6 +85,13 @@ def gspmm(g, op: str, reduce_op: str,
     """
     if reduce_op not in REDUCERS:
         raise ValueError(f"unknown reducer {reduce_op!r}")
+    if _hybrid_eligible(g, op, reduce_op, lhs_data, lhs_target):
+        from .pallas.spmm_kernel import gspmm_hybrid
+        from ..utils.env import get_config
+        deg = g.in_degrees() if reduce_op == "mean" else None
+        return gspmm_hybrid(g.spmm_hybrid_meta, g.spmm_hybrid_arrays,
+                            lhs_data, reduce_op, deg,
+                            mode=get_config().spmm_mode)
     if _pallas_eligible(g, op, reduce_op, lhs_data, rhs_data, lhs_target,
                         rhs_target):
         from .pallas.spmm_kernel import gspmm_pallas
