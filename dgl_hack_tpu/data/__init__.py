@@ -12,6 +12,13 @@ from .kg import load_kg_dataset, KGDataset, synthetic_kg  # noqa: F401
 from .graph_classification import (  # noqa: F401
     GraphClassificationDataset, sbm_mixture, TUDatasetSynthetic,
 )
+from .extra import (  # noqa: F401
+    PPIDataset, load_ppi, TUDataset, GINDataset,
+    AmazonCoBuyComputerDataset, AmazonCoBuyPhotoDataset,
+    CoauthorCSDataset, CoauthorPhysicsDataset, CoraFullDataset,
+    BitcoinOTCDataset, load_bitcoinotc, QM7bDataset, load_qm7b,
+    TemporalKGDataset, GDELTDataset, ICEWS18Dataset,
+)
 from .synthetic import (  # noqa: F401
     NodeClassificationDataset, planted_partition, synthetic_cora,
     synthetic_reddit, random_power_law_graph,
