@@ -36,6 +36,10 @@ def _fused_eligible(g, fsrc, el, er) -> bool:
     H, D = fsrc.shape[1], fsrc.shape[2]
     if H * D + 2 * H > _MAX_FUSED_WIDTH:
         return False
+    from .pallas.spmm_kernel import flat_plans_fit
+    if not flat_plans_fit(g.spmm_plan_meta, g.spmm_plan_arrays,
+                          H * D + 2 * H):
+        return False
     return all(jnp.issubdtype(jnp.result_type(t), jnp.floating)
                for t in (fsrc, el, er))
 

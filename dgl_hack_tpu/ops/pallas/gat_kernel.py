@@ -250,7 +250,8 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     'exact' mode, plain add in 'shift' mode).  Returns
     (rst (N_dst, HD), den (N_dst, H), shift (N_dst, H)) where shift is
     the per-dst subtrahend the backward pass must reuse."""
-    num_rows, tr, te, wc, C = meta
+    num_rows, tr, te, wc, C = meta[:5]
+    flat = bool(meta[5]) if len(meta) > 5 else False
     gidx_s, perm_s, lr_s, win_s, row0_s, cover_s = plan_arrays
     H = er.shape[1]
     HD = z.shape[1] - H
@@ -282,6 +283,33 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
         er_in = jnp.concatenate([erf, c], axis=1)
     er_pad = jnp.zeros((pad_rows, er_in.shape[1]), jnp.float32
                        ).at[:er.shape[0]].set(er_in)
+
+    if flat and C == 1:
+        # scan-free single-kernel path (flat plan: absolute windows,
+        # row0 = 0, wc covers all output windows)
+        gidx, perm, lr, win, _, cover = (a[0] for a in plan_arrays)
+        zg = z[gidx]
+        wg = None
+        if w is not None:
+            wg = (w[jnp.minimum(perm, E - 1)].astype(jnp.float32)
+                  * (perm < E)[:, None])
+        out = _gat_chunk_call(win, lr, zg, er_pad[:out_len], wg, tr=tr,
+                              te=te, bc=bc, wc=wc, H=H, D=D, slope=slope,
+                              mode=mode, softmax=softmax)
+        rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)[:, None]
+        if exact:
+            empty = jnp.concatenate(
+                [jnp.zeros((1, HD + H), jnp.float32),
+                 jnp.full((1, H), _NEG)], axis=1)
+            acc = jnp.where(rowmask, out, empty)
+        else:
+            acc = jnp.where(rowmask, out, 0.0)
+        acc = acc[:num_rows]
+        num, den = acc[:, :HD], acc[:, HD:HD + H]
+        shift = acc[:, HD + H:] if exact else c
+        rst = num / jnp.repeat(jnp.where(den > 0, den, 1.0), D, axis=1,
+                               total_repeat_length=HD)
+        return rst, den, shift
 
     def body(acc, xs):
         gidx, perm, lr, win, row0, cover = xs

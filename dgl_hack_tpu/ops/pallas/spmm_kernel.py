@@ -51,6 +51,12 @@ DEFAULT_TR = 128      # output rows per window (MXU-aligned)
 DEFAULT_TE = 1024     # edges per block (1-D int32 XLA tile = 1024)
 DEFAULT_BC = 512      # blocks per chunk  (gathered chunk = BC*TE rows)
 DEFAULT_WC = 512      # windows per chunk cap
+# flat (single-kernel, scan-free) plans materialise ONE (slots x F)
+# gathered message buffer in HBM; cap it so wide-feature ops don't OOM
+# (budget is checked again at dispatch time against the actual width)
+FLAT_MAX_BYTES = 2 << 30
+# slot cap at the default assumed feature width (128 f32 words = 512 B)
+FLAT_MAX_SLOTS = FLAT_MAX_BYTES // (128 * 4)
 
 
 class SegmentPlan(NamedTuple):
@@ -73,6 +79,7 @@ class SegmentPlan(NamedTuple):
     tr: int
     te: int
     wc: int
+    flat: bool = False
 
     @property
     def num_chunks(self) -> int:
@@ -85,26 +92,57 @@ class SegmentPlan(NamedTuple):
 
     @property
     def static_meta(self):
-        return (self.num_rows, self.tr, self.te, self.wc, self.num_chunks)
+        return (self.num_rows, self.tr, self.te, self.wc, self.num_chunks,
+                self.flat)
 
 
 N_PLAN_ARRAYS = 6
 
 
+def flat_plans_fit(plan_meta, plan_arrays, width_words: int) -> bool:
+    """Dispatch-time guard: False iff either direction's plan is FLAT and
+    its (slots x width) message buffer would exceed FLAT_MAX_BYTES — the
+    caller then falls back to the composed XLA path instead of OOMing.
+    Prepare with ``flat_width`` matching the widest operand (or
+    ``flat=False``) to keep the Pallas path for wide features."""
+    for meta, off in ((plan_meta[0], 0), (plan_meta[1], N_PLAN_ARRAYS)):
+        if len(meta) > 5 and meta[5] and meta[4] > 0:
+            bc = plan_arrays[off + 3].shape[1]
+            if bc * meta[2] * width_words * 4 > FLAT_MAX_BYTES:
+                return False
+    return True
+
+
 def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
                        end_ids: np.ndarray, num_rows: int,
                        tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
-                       bc: int = DEFAULT_BC, wc: int = DEFAULT_WC
-                       ) -> SegmentPlan:
+                       bc: int = DEFAULT_BC, wc: int = DEFAULT_WC,
+                       gather_n: Optional[int] = None,
+                       flat="auto",
+                       flat_max_slots: int = FLAT_MAX_SLOTS) -> SegmentPlan:
     """Pack row-sorted edges into uniform (window, block, chunk) tiles.
 
     end_ids: (E,) the *other* endpoint per edge in this direction's sorted
     order — precomposed into gather_idx.
+
+    gather_n: size of the table gather_idx indexes (defaults to
+    max(end_ids)+1).  Padding slots get indices SPREAD over [0, gather_n)
+    — pointing them all at row 0 serializes the gather engine on one
+    address (measured 3x slowdown at 35% padding).
+
+    flat=True emits ONE chunk covering every block with ABSOLUTE window
+    ids and row0=0 — the driver then runs a single kernel with no
+    overlap-add scan (only valid when the (slots x F) message buffer
+    fits memory).  flat="auto" picks flat iff total padded slots stay
+    within flat_max_slots (measured: the scan's per-chunk dynamic-slice
+    glue costs about as much as the gather itself).
     """
     indptr = np.asarray(indptr)
     row_sorted = np.asarray(row_sorted)
     end_ids = np.asarray(end_ids)
     E = row_sorted.shape[0]
+    if gather_n is None:
+        gather_n = int(end_ids.max()) + 1 if E else 1
     W = max(1, -(-num_rows // tr))
     win_starts = indptr[np.minimum(np.arange(W) * tr, num_rows)].astype(np.int64)
     win_ends = indptr[np.minimum((np.arange(W) + 1) * tr, num_rows)].astype(np.int64)
@@ -113,12 +151,14 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
 
     n_blocks = int(blocks_per_win.sum())
     assert bc % 8 == 0, "blocks-per-chunk must be a multiple of 8"
+    if flat == "auto":
+        flat = -(-n_blocks // 8) * 8 * te <= flat_max_slots
     if n_blocks == 0:
         z = np.zeros((0, bc * te), np.int32)
         return SegmentPlan(z, z, np.zeros((0, bc, te), np.int32),
                            np.zeros((0, bc), np.int32),
                            np.zeros(0, np.int32), np.zeros((0, wc), bool),
-                           num_rows, tr, te, wc)
+                           num_rows, tr, te, wc, False)
 
     blk_win = np.repeat(np.arange(W, dtype=np.int64), blocks_per_win)
     in_win_idx = (np.arange(n_blocks, dtype=np.int64)
@@ -133,22 +173,30 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
     slot_ok = np.arange(te, dtype=np.int64)[None, :] < blk_count[:, None]
     offs_c = np.minimum(offs, E - 1)
     perm_all = np.where(slot_ok, offs, E).astype(np.int32)
-    gidx_all = np.where(slot_ok, end_ids[offs_c], 0).astype(np.int32)
+    # padding slots gather SPREAD rows, not row 0 (same-address gathers
+    # serialize); the gathered values never contribute (sentinel lr)
+    spread = (offs * np.int64(2654435761)) % gather_n
+    gidx_all = np.where(slot_ok, end_ids[offs_c], spread).astype(np.int32)
     lr_all = np.where(slot_ok,
                       row_sorted[offs_c].astype(np.int64)
                       - blk_win[:, None] * tr,
                       tr).astype(np.int32)
 
-    # chunk boundaries: <= bc blocks AND <= wc window span per chunk
-    bounds = [0]
-    b0 = 0
-    while b0 < n_blocks:
-        b1 = min(b0 + bc, n_blocks)
-        if blk_win[b1 - 1] - blk_win[b0] + 1 > wc:
-            b1 = int(np.searchsorted(blk_win[b0:b1], blk_win[b0] + wc,
-                                     side="left") + b0)
-        bounds.append(b1)
-        b0 = b1
+    if flat:
+        bc = -(-n_blocks // 8) * 8
+        wc = W
+        bounds = [0, n_blocks]
+    else:
+        # chunk boundaries: <= bc blocks AND <= wc window span per chunk
+        bounds = [0]
+        b0 = 0
+        while b0 < n_blocks:
+            b1 = min(b0 + bc, n_blocks)
+            if blk_win[b1 - 1] - blk_win[b0] + 1 > wc:
+                b1 = int(np.searchsorted(blk_win[b0:b1], blk_win[b0] + wc,
+                                         side="left") + b0)
+            bounds.append(b1)
+            b0 = b1
     C = len(bounds) - 1
 
     gather_idx = np.zeros((C, bc * te), np.int32)
@@ -159,7 +207,7 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
     cover = np.zeros((C, wc), bool)
     for c in range(C):
         b0, b1 = bounds[c], bounds[c + 1]
-        w0 = int(blk_win[b0])
+        w0 = 0 if flat else int(blk_win[b0])  # flat: absolute windows
         row0[c] = w0 * tr
         wrel = (blk_win[b0:b1] - w0).astype(np.int32)
         window[c, :b1 - b0] = wrel
@@ -171,7 +219,7 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
         perm[c, :(b1 - b0) * te] = perm_all[b0:b1].reshape(-1)
         local_row[c, :b1 - b0] = lr_all[b0:b1]
     return SegmentPlan(gather_idx, perm, local_row, window, row0, cover,
-                       num_rows, tr, te, wc)
+                       num_rows, tr, te, wc, bool(flat))
 
 
 # ---------------------------------------------------------------------------
@@ -283,7 +331,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
                    mode: str = "f32x2") -> Array:
     """Reduce all chunks via one scanned Pallas call; returns
     (num_rows, F) float32."""
-    num_rows, tr, te, wc, C = static_meta
+    num_rows, tr, te, wc, C = static_meta[:5]
+    flat = bool(static_meta[5]) if len(static_meta) > 5 else False
     gidx_s, perm_s, lr_s, win_s, row0_s, cover_s = plan_arrays
     F = node_vals.shape[1]
     out_len = wc * tr
@@ -291,22 +340,35 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         return jnp.zeros((num_rows, F), jnp.float32)
     bc = win_s.shape[1]
 
+    def edge_weights(perm):
+        wv = weights if weights.ndim > 1 else weights[:, None]
+        if wv.shape[-1] == 1:
+            return ((wv[jnp.minimum(perm, E - 1), 0].astype(jnp.float32)
+                     * (perm < E)).reshape(bc, te), "scalar")
+        return wv[jnp.minimum(perm, E - 1)], "full"
+
+    if flat and C == 1:
+        # single kernel over all blocks, absolute windows, no accumulator
+        # (the scan's per-chunk dynamic-slice glue measured ~10 ns/slot —
+        # as costly as the gather itself)
+        gidx, perm, lr, win, _, cover = (a[0] for a in plan_arrays)
+        m = node_vals[gidx]
+        w_in, w_kind = (None, "none") if weights is None \
+            else edge_weights(perm)
+        out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
+                           num_windows=wc, num_blocks=bc, mode=mode)
+        rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
+        out = jnp.where(rowmask[:, None], out, 0.0)
+        return out[:num_rows]
+
     pad_rows = ((num_rows + tr - 1) // tr) * tr + out_len
     init = jnp.zeros((pad_rows, F), jnp.float32)
 
     def body(acc, xs):
         gidx, perm, lr, win, row0, cover = xs
         m = node_vals[gidx]
-        w_in, w_kind = None, "none"
-        if weights is not None:
-            wv = weights if weights.ndim > 1 else weights[:, None]
-            if wv.shape[-1] == 1:
-                w_in = (wv[jnp.minimum(perm, E - 1), 0].astype(jnp.float32)
-                        * (perm < E)).reshape(bc, te)
-                w_kind = "scalar"
-            else:
-                w_in = wv[jnp.minimum(perm, E - 1)]
-                w_kind = "full"
+        w_in, w_kind = (None, "none") if weights is None \
+            else edge_weights(perm)
         out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
                            num_windows=wc, num_blocks=bc, mode=mode)
         rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
@@ -382,19 +444,25 @@ class GspmmPlan(NamedTuple):
 def build_gspmm_plan(csc_indptr, dst_sorted, src_of_edges, csr_indptr,
                      src_sorted_eids, dst_of_edges, num_src, num_dst,
                      tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
-                     bc: int = DEFAULT_BC, wc: int = DEFAULT_WC) -> GspmmPlan:
+                     bc: int = DEFAULT_BC, wc: int = DEFAULT_WC,
+                     flat="auto",
+                     flat_max_slots: int = FLAT_MAX_SLOTS) -> GspmmPlan:
     """Build both direction plans from the Graph's CSC/CSR arrays.
 
     Forward gathers x by src; reverse gathers dout by dst.  Both perms
     are composed down to internal edge ids so weights index one array.
     """
     fwd = build_segment_plan(csc_indptr, dst_sorted, src_of_edges,
-                             num_dst, tr, te, bc, wc)
+                             num_dst, tr, te, bc, wc,
+                             gather_n=num_src, flat=flat,
+                             flat_max_slots=flat_max_slots)
     eids = np.asarray(src_sorted_eids)
     src_sorted = np.asarray(src_of_edges)[eids]
     dst_in_src_order = np.asarray(dst_of_edges)[eids]
     rev = build_segment_plan(csr_indptr, src_sorted, dst_in_src_order,
-                             num_src, tr, te, bc, wc)
+                             num_src, tr, te, bc, wc,
+                             gather_n=num_dst, flat=flat,
+                             flat_max_slots=flat_max_slots)
     # compose rev perm: positions index src-sorted order -> internal ids
     E = src_sorted.shape[0]
     comp = np.where(rev.perm < E, eids[np.minimum(rev.perm, E - 1)], E)
@@ -487,8 +555,12 @@ def _dense_matmul(C: Array, x: Array, mode: str) -> Array:
     xf = x.astype(jnp.float32)
     hi = xf.astype(jnp.bfloat16)
     lo = (xf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (jnp.dot(C, hi, preferred_element_type=jnp.float32)
-            + jnp.dot(C, lo, preferred_element_type=jnp.float32))
+    # one dot over [hi || lo] -> C is read ONCE (it dominates traffic:
+    # R x num_src vs num_src x F operand)
+    F = x.shape[1]
+    d = jnp.dot(C, jnp.concatenate([hi, lo], axis=1),
+                preferred_element_type=jnp.float32)
+    return d[:, :F] + d[:, F:]
 
 
 def _dense_matmul_t(C: Array, g: Array, mode: str) -> Array:
@@ -505,10 +577,10 @@ def _dense_matmul_t(C: Array, g: Array, mode: str) -> Array:
     gf = g.astype(jnp.float32)
     hi = gf.astype(jnp.bfloat16)
     lo = (gf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (jax.lax.dot_general(C, hi, dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(C, lo, dn,
-                                  preferred_element_type=jnp.float32))
+    F = g.shape[1]
+    d = jax.lax.dot_general(C, jnp.concatenate([hi, lo], axis=1), dn,
+                            preferred_element_type=jnp.float32)
+    return d[:, :F] + d[:, F:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -596,7 +668,8 @@ def _build_dense_C(g, dense_wins: np.ndarray, tr: int,
 
 
 def build_hybrid_plan(g, dense_wins: np.ndarray, tr: int, te: int,
-                      bc: int, wc: int):
+                      bc: int, wc: int, flat="auto",
+                      flat_max_slots: int = FLAT_MAX_SLOTS):
     """Remainder (non-dense-window) edge plans, both directions."""
     dst = g.host("dst")
     src = g.host("src")
@@ -608,12 +681,16 @@ def build_hybrid_plan(g, dense_wins: np.ndarray, tr: int, te: int,
     dst_r, src_r = dst[keep], src[keep]        # still CSC (dst-sorted) order
     csc_r = np.zeros(num_dst + 1, np.int64)
     np.cumsum(np.bincount(dst_r, minlength=num_dst), out=csc_r[1:])
-    fwd = build_segment_plan(csc_r, dst_r, src_r, num_dst, tr, te, bc, wc)
+    fwd = build_segment_plan(csc_r, dst_r, src_r, num_dst, tr, te, bc, wc,
+                             gather_n=num_src, flat=flat,
+                             flat_max_slots=flat_max_slots)
     order = np.argsort(src_r, kind="stable")
     csr_r = np.zeros(num_src + 1, np.int64)
     np.cumsum(np.bincount(src_r, minlength=num_src), out=csr_r[1:])
     rev = build_segment_plan(csr_r, src_r[order], dst_r[order],
-                             num_src, tr, te, bc, wc)
+                             num_src, tr, te, bc, wc,
+                             gather_n=num_dst, flat=flat,
+                             flat_max_slots=flat_max_slots)
     return fwd, rev
 
 
@@ -639,7 +716,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
                  bc: int = DEFAULT_BC, wc: int = DEFAULT_WC, *,
                  weighted: bool = True, dense_hub: bool = True,
                  dense_threshold: Optional[int] = None,
-                 dense_budget: int = 3 << 30):
+                 dense_budget: int = 3 << 30, flat="auto",
+                 flat_width: int = 128):
     """Attach Pallas gspmm plans to a Graph (returns a new Graph sharing
     all other arrays).  Requires the CSR format (build_csr=True).
     One-time host-side cost per graph, analogous to the reference's lazy
@@ -647,16 +725,23 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
 
     weighted=True additionally builds the full (all-edge) plan used by
     u_mul_e-style weighted ops; dense_hub=True densifies hub dst-windows
-    (see select_dense_windows) for the unweighted copy_u path."""
+    (see select_dense_windows) for the unweighted copy_u path.
+    flat="auto" emits single-kernel scan-free plans when the padded slot
+    count fits the FLAT_MAX_BYTES message-buffer budget at an assumed
+    operand width of ``flat_width`` f32 words (set it to your widest
+    feature dim — e.g. H*D+H for fused GAT); flat=False forces chunked
+    plans.  Ops whose actual width would blow the budget fall back to the
+    composed XLA path at dispatch (see flat_plans_fit)."""
     if g.csr_indptr is None or g.csr_eids is None:
         raise ValueError("prepare_spmm requires the graph's CSR format")
+    fms = max(te, FLAT_MAX_BYTES // (max(flat_width, 1) * 4))
     out = g
     if weighted:
         plan = build_gspmm_plan(
             g.host("csc_indptr"), g.host("dst"), g.host("src"),
             g.host("csr_indptr"), g.host("csr_eids"),
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
-            tr=tr, te=te, bc=bc, wc=wc)
+            tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms)
         arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta)
@@ -666,7 +751,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             threshold=dense_threshold, budget_bytes=dense_budget)
         wins = _check_dense_exact(g, wins, tr)
         if wins.size:
-            fwd, rev = build_hybrid_plan(g, wins, tr, te, bc, wc)
+            fwd, rev = build_hybrid_plan(g, wins, tr, te, bc, wc,
+                                         flat=flat, flat_max_slots=fms)
             C, rows = _build_dense_C(g, wins, tr)
             arrays = (fwd.device_arrays() + rev.device_arrays()
                       + (C, rows))
@@ -680,7 +766,7 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             g.host("csc_indptr"), g.host("dst"), g.host("src"),
             g.host("csr_indptr"), g.host("csr_eids"),
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
-            tr=tr, te=te, bc=bc, wc=wc)
+            tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms)
         arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta)

@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .common import apply_binary, gather_edge_operand
 from . import segment
@@ -50,7 +51,9 @@ def _pallas_eligible(g, op, reduce_op, lhs_data, rhs_data, lhs_target,
         bshape = jnp.broadcast_shapes(lhs_data.shape[1:], rhs_data.shape[1:])
         if bshape != tuple(lhs_data.shape[1:]):
             return False
-    return True
+    from .pallas.spmm_kernel import flat_plans_fit
+    width = int(np.prod(lhs_data.shape[1:])) if lhs_data.ndim > 1 else 1
+    return flat_plans_fit(g.spmm_plan_meta, g.spmm_plan_arrays, width)
 
 
 def _hybrid_eligible(g, op, reduce_op, lhs_data, lhs_target) -> bool:
@@ -66,7 +69,11 @@ def _hybrid_eligible(g, op, reduce_op, lhs_data, lhs_target) -> bool:
         return False
     if reduce_op not in ("sum", "mean"):
         return False
-    return jnp.issubdtype(jnp.result_type(lhs_data), jnp.floating)
+    if not jnp.issubdtype(jnp.result_type(lhs_data), jnp.floating):
+        return False
+    from .pallas.spmm_kernel import flat_plans_fit
+    width = int(np.prod(lhs_data.shape[1:])) if lhs_data.ndim > 1 else 1
+    return flat_plans_fit(g.spmm_hybrid_meta, g.spmm_hybrid_arrays, width)
 
 
 def gspmm(g, op: str, reduce_op: str,

@@ -17,13 +17,14 @@ def softmax_mode(request, monkeypatch):
     return request.param
 
 
-def _prep(rng, num_nodes=300, num_edges=2000, hub=0, te=256, bc=8, wc=2):
+def _prep(rng, num_nodes=300, num_edges=2000, hub=0, te=256, bc=8, wc=2,
+          flat=False):
     src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     dst = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     if hub:
         dst[:hub] = 7            # one hub node -> window split over chunks
     g = dgl.graph((src, dst), num_nodes=num_nodes)
-    gp = dgl.prepare_spmm(g, te=te, bc=bc, wc=wc)
+    gp = dgl.prepare_spmm(g, te=te, bc=bc, wc=wc, flat=flat)
     return g, gp
 
 
@@ -44,9 +45,10 @@ def _rand(rng, g, H, D, scale=1.0):
     return fsrc, el, er
 
 
+@pytest.mark.parametrize("flat", [False, True])
 @pytest.mark.parametrize("H,D", [(1, 16), (4, 16), (8, 7)])
-def test_gat_fused_forward(rng, H, D, softmax_mode):
-    g, gp = _prep(rng)
+def test_gat_fused_forward(rng, H, D, softmax_mode, flat):
+    g, gp = _prep(rng, flat=flat)
     fsrc, el, er = _rand(rng, g, H, D)
     ref = _oracle(g, fsrc, el, er, 0.2)
     out = gat_attention(gp, fsrc, el, er, 0.2)
@@ -80,8 +82,10 @@ def test_gat_fused_isolated_nodes(rng):
     assert float(jnp.abs(out[10:]).max()) == 0.0
 
 
-def test_gat_fused_grads(rng, softmax_mode):
-    g, gp = _prep(rng, num_nodes=200, num_edges=1500, te=128, bc=8, wc=2)
+@pytest.mark.parametrize("flat", [False, True])
+def test_gat_fused_grads(rng, softmax_mode, flat):
+    g, gp = _prep(rng, num_nodes=200, num_edges=1500, te=128, bc=8, wc=2,
+                  flat=flat)
     H, D = 2, 16
     fsrc, el, er = _rand(rng, g, H, D)
     t = jnp.asarray(rng.normal(size=(200, H, D)).astype(np.float32))

@@ -10,17 +10,21 @@ import dgl_hack_tpu as dgl
 from utils import random_graph
 
 
-def _prep(rng, num_nodes=300, num_edges=2000, te=256, bc=8, wc=2):
+def _prep(rng, num_nodes=300, num_edges=2000, te=256, bc=8, wc=2,
+          flat=False):
     src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     dst = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     g = dgl.graph((src, dst), num_nodes=num_nodes)
-    gp = dgl.prepare_spmm(g, te=te, bc=bc, wc=wc)
+    gp = dgl.prepare_spmm(g, te=te, bc=bc, wc=wc, flat=flat)
     return g, gp
 
 
+@pytest.mark.parametrize("flat", [False, True])
 @pytest.mark.parametrize("reducer", ["sum", "mean"])
-def test_pallas_copy_u(rng, reducer):
-    g, gp = _prep(rng)
+def test_pallas_copy_u(rng, reducer, flat):
+    g, gp = _prep(rng, flat=flat)
+    if flat:
+        assert gp.spmm_plan_meta[0][4] == 1 and gp.spmm_plan_meta[0][5]
     x = jnp.asarray(rng.normal(size=(300, 128)).astype(np.float32))
     ref = dgl.gspmm(g, "copy_lhs", reducer, x)
     out = dgl.gspmm(gp, "copy_lhs", reducer, x)
@@ -40,9 +44,10 @@ def test_pallas_chunked(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("flat", [False, True])
 @pytest.mark.parametrize("wshape", [(1,), (128,)])
-def test_pallas_u_mul_e(rng, wshape):
-    g, gp = _prep(rng)
+def test_pallas_u_mul_e(rng, wshape, flat):
+    g, gp = _prep(rng, flat=flat)
     E = g.num_edges()
     x = jnp.asarray(rng.normal(size=(300, 128)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(E,) + wshape).astype(np.float32))
@@ -64,9 +69,11 @@ def test_pallas_gat_shape_broadcast(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_grad(rng):
+@pytest.mark.parametrize("flat", [False, True])
+def test_pallas_grad(rng, flat):
     """Coupled VJP: gradients wrt x and w match the reference path."""
-    g, gp = _prep(rng, num_nodes=120, num_edges=700, te=256, bc=8)
+    g, gp = _prep(rng, num_nodes=120, num_edges=700, te=256, bc=8,
+                  flat=flat)
     E = g.num_edges()
     x = jnp.asarray(rng.normal(size=(120, 32)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(E, 1)).astype(np.float32))
@@ -114,13 +121,14 @@ def test_pallas_feature_dims(rng, F):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_empty_windows(rng):
+@pytest.mark.parametrize("flat", [False, True])
+def test_pallas_empty_windows(rng, flat):
     """Nodes with no in-edges anywhere in the id range must come out 0."""
     src = rng.integers(0, 50, 200).astype(np.int32)
     dst = np.concatenate([rng.integers(0, 20, 100),
                           rng.integers(230, 250, 100)]).astype(np.int32)
     g = dgl.graph((src, dst), num_nodes=250)
-    gp = dgl.prepare_spmm(g, te=256, bc=8, wc=2)
+    gp = dgl.prepare_spmm(g, te=256, bc=8, wc=2, flat=flat)
     x = jnp.asarray(rng.normal(size=(250, 32)).astype(np.float32))
     ref = dgl.gspmm(g, "copy_lhs", "sum", x)
     out = dgl.gspmm(gp, "copy_lhs", "sum", x)
@@ -137,7 +145,8 @@ def test_pallas_hub_split_across_chunks(rng):
     dst = np.zeros(E, np.int32)          # everything into node 0
     dst[:500] = rng.integers(1, 100, 500)
     g = dgl.graph((src, dst), num_nodes=100)
-    gp = dgl.prepare_spmm(g, te=256, bc=8, wc=2)  # chunk=2048 edges max
+    gp = dgl.prepare_spmm(g, te=256, bc=8, wc=2,  # chunk=2048 edges max
+                          flat=False)
     assert gp.spmm_plan_meta[0][4] >= 2
     x = jnp.asarray(rng.normal(size=(100, 16)).astype(np.float32))
     ref = dgl.gspmm(g, "copy_lhs", "sum", x)

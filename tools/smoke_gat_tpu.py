@@ -17,7 +17,9 @@ N, AVG_DEG, H, D = 100_000, 16.0, 8, 64
 def main():
     print("backend:", jax.default_backend(), jax.devices()[0])
     g = random_power_law_graph(N, avg_degree=AVG_DEG, alpha=2.1, seed=0)
-    gp = dgl.prepare_spmm(g)
+    # flat_width: the fused-GAT kernel gathers (H*D + 2H)-wide rows; size
+    # the flat-plan budget to that so auto-flat stays within HBM
+    gp = dgl.prepare_spmm(g, flat_width=H * D + 2 * H)
     E = g.num_edges()
     rng = np.random.default_rng(0)
     fsrc = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
