@@ -15,7 +15,7 @@ from .core.message import (  # noqa: F401
     update_all, apply_edges, apply_nodes, send_and_recv, pull, push,
     send, recv, EdgeBatch, NodeBatch,
 )
-from .core.batch import batch, unbatch  # noqa: F401
+from .core.batch import batch, unbatch, batch_hetero, unbatch_hetero  # noqa: F401
 from .core import transform  # noqa: F401
 from .core.transform import (  # noqa: F401
     khop_graph, line_graph, to_bidirected, add_self_loop, remove_self_loop,
@@ -31,7 +31,7 @@ from .ops import segment, readout  # noqa: F401
 from .ops.readout import (  # noqa: F401
     sum_nodes, mean_nodes, max_nodes, sum_edges, mean_edges, max_edges,
     softmax_nodes, softmax_edges, broadcast_nodes, broadcast_edges,
-    topk_nodes,
+    topk_nodes, topk_edges,
 )
 from .ops.pallas.spmm_kernel import prepare_spmm  # noqa: F401
 from . import sampling  # noqa: F401
@@ -43,7 +43,8 @@ __all__ = [
     "Graph", "graph", "block", "from_scipy", "reverse",
     "HeteroGraph", "heterograph", "bipartite", "to_homogeneous",
     "update_all", "apply_edges", "apply_nodes", "send_and_recv", "pull",
-    "push", "batch", "unbatch", "gspmm", "gsddmm", "edge_softmax",
+    "push", "batch", "unbatch", "batch_hetero", "unbatch_hetero",
+    "gspmm", "gsddmm", "edge_softmax",
     "segment", "readout", "function", "fn", "prepare_spmm", "sampling",
     "transform", "traversal", "propagate",
     "khop_graph", "line_graph", "to_bidirected", "add_self_loop",
@@ -52,5 +53,5 @@ __all__ = [
     "to_block", "knn_graph", "reorder_graph",
     "sum_nodes", "mean_nodes", "max_nodes", "sum_edges", "mean_edges",
     "max_edges", "softmax_nodes", "softmax_edges", "broadcast_nodes",
-    "broadcast_edges", "topk_nodes",
+    "broadcast_edges", "topk_nodes", "topk_edges",
 ]

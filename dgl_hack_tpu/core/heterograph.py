@@ -30,12 +30,16 @@ class HeteroGraph:
 
     def __init__(self, relations: Dict[CanonicalEtype, Graph],
                  num_nodes: Dict[str, int],
-                 node_frames: Optional[Dict[str, Dict[str, Array]]] = None):
+                 node_frames: Optional[Dict[str, Dict[str, Array]]] = None,
+                 batch_info: Optional[Tuple] = None):
         self.relations = dict(relations)
         self._num_nodes = dict(num_nodes)
         if node_frames is None:
             node_frames = {nt: {} for nt in num_nodes}
         self._node_frames = node_frames
+        # (per-ntype node counts, per-cetype edge counts) for batched
+        # heterographs (reference: python/dgl/batched_heterograph.py:12)
+        self._batch_info = batch_info
 
     # -- schema -------------------------------------------------------------
     @property
@@ -73,6 +77,38 @@ class HeteroGraph:
 
     def _rel(self, etype) -> Graph:
         return self.relations[self.to_canonical_etype(etype)]
+
+    # -- batching (reference: batched_heterograph.py:256,265,298) -----------
+    @property
+    def batch_size(self) -> int:
+        if self._batch_info is None:
+            return 1
+        return len(next(iter(self._batch_info[0].values())))
+
+    def batch_num_nodes(self, ntype: Optional[str] = None):
+        """Per-component node counts of a batched heterograph."""
+        if self._batch_info is None:
+            nts = self.ntypes
+            if ntype is None and len(nts) != 1:
+                raise ValueError("pass ntype for multi-ntype graphs")
+            return (self.num_nodes(ntype or nts[0]),)
+        bnn = self._batch_info[0]
+        if ntype is None:
+            if len(bnn) != 1:
+                raise ValueError("pass ntype for multi-ntype graphs")
+            ntype = next(iter(bnn))
+        return bnn[ntype]
+
+    def batch_num_edges(self, etype=None):
+        """Per-component edge counts of a batched heterograph."""
+        if self._batch_info is None:
+            return (self.num_edges(etype),)
+        bne = self._batch_info[1]
+        if etype is None:
+            if len(bne) != 1:
+                raise ValueError("pass etype for multi-etype graphs")
+            return next(iter(bne.values()))
+        return bne[self.to_canonical_etype(etype)]
 
     def __getitem__(self, etype) -> Graph:
         """Relation slice: the bipartite Graph of one canonical etype, with
@@ -183,14 +219,18 @@ class HeteroGraph:
         flat = [l for ls in rel_leaves for l in ls]
         flat += [self._node_frames[nt][k]
                  for nt, keys in zip(ntypes, fkeys) for k in keys]
+        binfo = None
+        if self._batch_info is not None:
+            binfo = (tuple(sorted(self._batch_info[0].items())),
+                     tuple(sorted(self._batch_info[1].items())))
         aux = (etypes, tuple(rel_defs),
                tuple(len(ls) for ls in rel_leaves),
-               tuple(sorted(self._num_nodes.items())), ntypes, fkeys)
+               tuple(sorted(self._num_nodes.items())), ntypes, fkeys, binfo)
         return flat, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        etypes, rel_defs, rel_lens, nn_items, ntypes, fkeys = aux
+        etypes, rel_defs, rel_lens, nn_items, ntypes, fkeys, binfo = aux
         leaves = list(leaves)
         relations = {}
         i = 0
@@ -201,7 +241,9 @@ class HeteroGraph:
         for nt, keys in zip(ntypes, fkeys):
             node_frames[nt] = {k: leaves[i + j] for j, k in enumerate(keys)}
             i += len(keys)
-        return cls(relations, dict(nn_items), node_frames)
+        if binfo is not None:
+            binfo = (dict(binfo[0]), dict(binfo[1]))
+        return cls(relations, dict(nn_items), node_frames, binfo)
 
     def __repr__(self):
         return (f"HeteroGraph(num_nodes={self._num_nodes}, etypes="

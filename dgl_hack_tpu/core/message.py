@@ -259,6 +259,89 @@ def edge_softmax_graph(g: Graph, logits: Array, order="internal") -> Array:
     return _edge_softmax(g, logits, order)
 
 
+class GroupedEdgeBatch:
+    """Edge UDF view for ``group_apply_edges``: ``.src``/``.dst``/``.data``
+    are dicts of (num_group_nodes, max_degree, *feat) padded arrays;
+    ``mask`` (num_group_nodes, max_degree) marks real edges and
+    ``degrees`` gives exact group sizes (the static-shape replacement for
+    the reference's per-degree edge bucketing,
+    src/scheduler/scheduler.cc group-by-edge path)."""
+
+    def __init__(self, src, dst, data, mask, degrees):
+        self.src = src
+        self.dst = dst
+        self.data = data
+        self.mask = mask
+        self.degrees = degrees
+
+    def batch_size(self) -> int:
+        return self.mask.shape[0]
+
+
+def group_apply_edges(g: Graph, group_by: str, func: Callable,
+                      max_degree: Optional[int] = None) -> None:
+    """Group edges by their src or dst node and apply a UDF per group,
+    writing returned fields to edata (reference: DGLGraph.
+    group_apply_edges, python/dgl/graph.py:2660 ->
+    schedule_group_apply_edge, runtime/scheduler.py:516).
+
+    The UDF receives a GroupedEdgeBatch with (N, max_deg, feat)-padded
+    views and must return a dict of same-layout arrays; padded slots are
+    discarded on write-back.  Typical use: per-node softmax over
+    out-edges."""
+    if group_by not in ("src", "dst"):
+        raise ValueError("group_by must be 'src' or 'dst'")
+    E = g.num_edges_static
+    if group_by == "dst":
+        n = g.num_dst_nodes
+        seg = g.dst                                  # internal = dst-sorted
+        indptr = g.csc_indptr
+        order = None
+        deg = g.in_degrees()
+    else:
+        if g.csr_indptr is None or g.csr_eids is None:
+            raise ValueError("group_by='src' requires the CSR format")
+        n = g.num_src_nodes
+        order = g.csr_eids                           # src-sorted -> internal
+        seg = g.src[order]
+        indptr = g.csr_indptr
+        deg = g.out_degrees()
+    if max_degree is None:
+        max_degree = max(1, int(jax.device_get(deg.max()))) if E else 1
+    slot = jnp.arange(E, dtype=jnp.int32) - indptr[seg]
+    slot = jnp.minimum(slot, max_degree - 1)
+
+    def box(v):
+        b = jnp.zeros((n, max_degree) + v.shape[1:], v.dtype)
+        if g.edge_mask is not None:
+            v = jnp.where(g.edge_mask.reshape((-1,) + (1,) * (v.ndim - 1)),
+                          v, jnp.zeros_like(v))
+        return b.at[seg, slot].set(v)
+
+    def boxed_frame(target):
+        frame = _target_frame(g, target)
+        out = {}
+        for k in frame.keys():
+            v = gather_edge_operand(g, frame[k], target)
+            if order is not None:
+                v = v[order]
+            out[k] = box(v)
+        return out
+
+    mask = (jnp.arange(max_degree, dtype=jnp.int32)[None, :]
+            < jnp.minimum(deg, max_degree)[:, None])
+    batch = GroupedEdgeBatch(boxed_frame("u"), boxed_frame("v"),
+                             boxed_frame("e"), mask, deg)
+    res = func(batch)
+    if not isinstance(res, dict):
+        raise TypeError("group_apply_edges UDF must return a dict")
+    for k, v in res.items():
+        flat = v[seg, slot]                          # grouped -> edge order
+        if order is not None:
+            flat = jnp.zeros_like(flat).at[order].set(flat)
+        g._edge_frame[k] = flat
+
+
 # ---------------------------------------------------------------------------
 # Attach ergonomic methods to Graph (DGL API parity)
 # ---------------------------------------------------------------------------
@@ -275,6 +358,8 @@ def _attach():
         _edge_softmax(self, logits, order)
     Graph.send = lambda self, mf: send(self, mf)
     Graph.recv = lambda self, v, rf: recv(self, v, rf)
+    Graph.group_apply_edges = lambda self, group_by, f, **kw: \
+        group_apply_edges(self, group_by, f, **kw)
 
 
 _attach()

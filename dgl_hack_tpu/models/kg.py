@@ -292,17 +292,26 @@ class KEModel:
                 regularization_coef: float = 0.0):
         """heads/rels/tails (B,); neg_ents (C, N); B = C * chunk_size."""
         ent, rel = params["entity"], params["relation"]
-        h = ent[heads]
-        r = rel[rels]
-        t = ent[tails]
+        return self.loss_from_rows(
+            ent[heads], rel[rels], ent[tails], ent[neg_ents], neg_is_head,
+            chunk_size, neg_adversarial_sampling, adversarial_temperature,
+            regularization_coef)
+
+    def loss_from_rows(self, h, r, t, nc, neg_is_head, chunk_size: int,
+                       neg_adversarial_sampling: bool = False,
+                       adversarial_temperature: float = 1.0,
+                       regularization_coef: float = 0.0):
+        """Loss on pre-gathered embedding rows — differentiating wrt the
+        rows themselves yields the sparse per-row gradients the
+        reference's ExternalEmbedding.update consumes
+        (apps/kg/models/pytorch/tensor_models.py adagrad update)."""
         pos_score = self.score.pos(h, r, t)                        # (B,)
 
-        C = neg_ents.shape[0]
+        C = nc.shape[0]
         S = chunk_size
         hc = h.reshape(C, S, -1)
         rc = r.reshape(C, S, -1)
         tc = t.reshape(C, S, -1)
-        nc = ent[neg_ents]                                         # (C, N, D)
         neg_score = jnp.where(
             neg_is_head,
             self.score.neg_head(tc, rc, nc),
@@ -378,6 +387,116 @@ def make_train_step(model: KEModel, tx, chunk_size: int,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
     return step
+
+
+# ---------------------------------------------------------------------------
+# Sparse-row Adagrad (reference: ExternalEmbedding,
+# apps/kg/models/pytorch/tensor_models.py — grad_sum = (g*g).mean(1),
+# emb[idx] -= lr * g / (sqrt(state[idx]) + 1e-10)) with the fork's
+# --async_update semantics (one-step-stale application overlapped with
+# the next batch, general_models.py:474-479 async_update processes).
+# ---------------------------------------------------------------------------
+def init_sparse_state(model: KEModel):
+    """Per-row Adagrad accumulators for both embedding tables."""
+    return {"ent_sum": jnp.zeros((model.num_entities,), jnp.float32),
+            "rel_sum": jnp.zeros((model.num_relations,), jnp.float32)}
+
+
+def _coalesce(rows: Array, grads: Array):
+    """Sum gradient rows with duplicate indices (the analogue of torch
+    sparse-tensor coalescing the reference relies on).  Returns (rows,
+    grads) of the same static length; duplicate slots become (row 0,
+    zero-grad) no-ops."""
+    K = rows.shape[0]
+    order = jnp.argsort(rows)
+    rs, gs = rows[order], grads[order]
+    new = jnp.concatenate([jnp.ones((1,), bool), rs[1:] != rs[:-1]])
+    sid = jnp.cumsum(new) - 1
+    gco = jax.ops.segment_sum(gs, sid, num_segments=K)
+    rco = jax.ops.segment_max(rs, sid, num_segments=K)
+    return jnp.clip(rco, 0, None), gco
+
+
+def _adagrad_rows(table: Array, state_sum: Array, rows: Array,
+                  grads: Array, lr: float):
+    rows, grads = _coalesce(rows, grads)
+    state_sum = state_sum.at[rows].add((grads * grads).mean(-1))
+    std = jnp.sqrt(state_sum[rows]) + 1e-10
+    table = table.at[rows].add(-lr * grads / std[:, None])
+    return table, state_sum
+
+
+def make_sparse_train_step(model: KEModel, lr: float, chunk_size: int,
+                           neg_adversarial_sampling: bool = False,
+                           adversarial_temperature: float = 1.0,
+                           regularization_coef: float = 0.0,
+                           async_update: bool = False):
+    """DGL-KE-style sparse-row Adagrad train step.
+
+    Gradients exist only for the rows a batch touches; the update
+    scatters into the tables like the reference's
+    ``ExternalEmbedding.update``.  With ``async_update=True`` the step
+    returns this batch's row-updates as ``pending`` and applies the
+    PREVIOUS call's ``pending`` first — one step of staleness, letting
+    XLA overlap the scatter with the host preparing the next batch
+    (the TPU-native reading of the fork's async updater processes).
+
+    Returns ``step(params, state, heads, rels, tails, neg_ents,
+    neg_is_head[, pending]) -> (params, state, loss[, pending])`` and,
+    for the async form, ``empty_pending(batch_size, neg_shape)``.
+    """
+    def row_loss(h, r, t, n, neg_is_head):
+        return model.loss_from_rows(
+            h, r, t, n, neg_is_head, chunk_size,
+            neg_adversarial_sampling, adversarial_temperature,
+            regularization_coef)
+
+    def compute(params, heads, rels, tails, neg_ents, neg_is_head):
+        ent, rel = params["entity"], params["relation"]
+        h, r, t = ent[heads], rel[rels], ent[tails]
+        n = ent[neg_ents]
+        loss, (gh, gr, gt, gn) = jax.value_and_grad(
+            row_loss, argnums=(0, 1, 2, 3))(h, r, t, n, neg_is_head)
+        ent_rows = jnp.concatenate([heads, tails, neg_ents.reshape(-1)])
+        ent_grads = jnp.concatenate(
+            [gh, gt, gn.reshape(-1, gn.shape[-1])])
+        return loss, (ent_rows, ent_grads, rels, gr)
+
+    def apply(params, state, upd):
+        ent_rows, ent_grads, rel_rows, rel_grads = upd
+        ent, es = _adagrad_rows(params["entity"], state["ent_sum"],
+                                ent_rows, ent_grads, lr)
+        rel, rs = _adagrad_rows(params["relation"], state["rel_sum"],
+                                rel_rows, rel_grads, lr)
+        return ({"entity": ent, "relation": rel},
+                {"ent_sum": es, "rel_sum": rs})
+
+    if not async_update:
+        @jax.jit
+        def step(params, state, heads, rels, tails, neg_ents, neg_is_head):
+            loss, upd = compute(params, heads, rels, tails, neg_ents,
+                                neg_is_head)
+            params, state = apply(params, state, upd)
+            return params, state, loss
+        return step
+
+    @jax.jit
+    def step_async(params, state, heads, rels, tails, neg_ents,
+                   neg_is_head, pending):
+        params, state = apply(params, state, pending)
+        loss, upd = compute(params, heads, rels, tails, neg_ents,
+                            neg_is_head)
+        return params, state, loss, upd
+
+    def empty_pending(batch_size: int, neg_shape, ent_dim: int,
+                      rel_dim: int):
+        k = batch_size * 2 + int(np.prod(neg_shape))
+        return (jnp.zeros((k,), jnp.int32),
+                jnp.zeros((k, ent_dim), jnp.float32),
+                jnp.zeros((batch_size,), jnp.int32),
+                jnp.zeros((batch_size, rel_dim), jnp.float32))
+
+    return step_async, empty_pending
 
 
 def save_emb(path_prefix: str, params) -> None:

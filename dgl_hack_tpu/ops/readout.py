@@ -134,3 +134,26 @@ def topk_nodes(g, feat, k: int, descending: bool = True, idx: Optional[int] = No
     order = jnp.argsort(dense[..., idx], axis=1)
     order = order[:, ::-1] if descending else order
     return jnp.take_along_axis(dense, order[..., None], axis=1)[:, :k]
+
+
+def topk_edges(g, feat, k: int, descending: bool = True,
+               idx: Optional[int] = None):
+    """Per-graph top-k over edge features (reference: readout.py
+    topk_edges); same dense-padded formulation as topk_nodes."""
+    x = _resolve_e(g, feat)
+    counts = g.batch_num_edges if g.batch_num_edges is not None \
+        else (g.num_edges_static,)
+    nG, max_n = len(counts), max(counts)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    gid = np.repeat(np.arange(nG), counts).astype(np.int32)
+    pos = (np.arange(offs[-1]) - offs[gid]).astype(np.int32)
+    pad = -jnp.inf if descending else jnp.inf
+    dense = jnp.full((nG, max_n) + x.shape[1:], pad, x.dtype)
+    dense = dense.at[jnp.asarray(gid), jnp.asarray(pos)].set(x)
+    if idx is None:
+        srt = jnp.sort(dense, axis=1)
+        srt = srt[:, ::-1] if descending else srt
+        return srt[:, :k]
+    order = jnp.argsort(dense[..., idx], axis=1)
+    order = order[:, ::-1] if descending else order
+    return jnp.take_along_axis(dense, order[..., None], axis=1)[:, :k]

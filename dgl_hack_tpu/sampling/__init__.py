@@ -3,7 +3,9 @@ from .neighbor import (  # noqa: F401
     GraphDataLoader, select_topk, sample_layer_neighbors,
     EdgeSampler,
 )
-from .randomwalk import random_walk, node2vec_random_walk  # noqa: F401
+from .randomwalk import (  # noqa: F401
+    random_walk, node2vec_random_walk, random_walk_with_restart,
+)
 from .negative import (  # noqa: F401
     uniform_negative_edges, ChunkedNegativeSampler,
 )

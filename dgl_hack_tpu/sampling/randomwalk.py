@@ -93,3 +93,51 @@ def node2vec_random_walk(g: Graph, nodes: Sequence[int], p: float, q: float,
             traces[i, t] = nxt
             prev, cur = cur, nxt
     return traces
+
+
+def random_walk_with_restart(g: Graph, nodes: Sequence[int],
+                             restart_prob: float,
+                             max_nodes_per_seed: int,
+                             max_visit_counts: int = 0,
+                             max_frequent_visited_nodes: int = 0,
+                             rng: Optional[np.random.Generator] = None):
+    """Restarting walks until ``max_nodes_per_seed`` distinct nodes are
+    visited per seed (reference: contrib.sampling random_walk_with_restart
+    -> _CAPI_DGLSamplerRandomWalkWithRestart, src/graph/sampler.cc).
+
+    Returns a list (one per seed) of int32 arrays of the distinct visited
+    nodes, in first-visit order.  The optional early-stop pair
+    (max_visit_counts, max_frequent_visited_nodes) terminates a seed once
+    that many nodes have been visited at least that many times, matching
+    the reference's frequency-based stopping."""
+    rng = rng or np.random.default_rng()
+    csr = _get_csr(g)
+    out = []
+    for start in np.asarray(nodes, dtype=np.int64):
+        visited: dict = {}
+        counts: dict = {}
+        cur = int(start)
+        visited[cur] = None
+        counts[cur] = 1
+        # bounded total steps as a safety net on disconnected components
+        for _ in range(64 * max(1, max_nodes_per_seed)):
+            if len(visited) >= max_nodes_per_seed:
+                break
+            if max_visit_counts > 0 and max_frequent_visited_nodes > 0:
+                freq = sum(1 for c in counts.values()
+                           if c >= max_visit_counts)
+                if freq >= max_frequent_visited_nodes:
+                    break
+            if rng.random() < restart_prob:
+                cur = int(start)
+                continue
+            lo, hi = csr.indptr[cur], csr.indptr[cur + 1]
+            if hi == lo:
+                cur = int(start)
+                continue
+            cur = int(csr.dst[lo + rng.integers(0, hi - lo)])
+            visited.setdefault(cur, None)
+            counts[cur] = counts.get(cur, 0) + 1
+        out.append(np.fromiter(visited.keys(), dtype=np.int32,
+                               count=len(visited)))
+    return out

@@ -16,7 +16,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model_name", default="TransE_l2",
                    choices=["TransE_l1", "TransE_l2", "DistMult", "ComplEx",
-                            "RESCAL", "RotatE"])
+                            "RESCAL", "RotatE", "TransR"])
+    p.add_argument("--sparse_emb", action="store_true",
+                   help="sparse-row Adagrad on the embedding tables "
+                        "(reference: ExternalEmbedding)")
+    p.add_argument("--async_update", action="store_true",
+                   help="one-step-stale row updates overlapped with batch "
+                        "prep (reference: --async_update); implies "
+                        "--sparse_emb")
     p.add_argument("--dataset", default="FB15k")
     p.add_argument("--kg-scale", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=1024)
@@ -39,32 +46,57 @@ def main():
 
     from dgl_hack_tpu.data.kg import load_kg_dataset
     from dgl_hack_tpu.models.kg import (KEModel, eval_ranks, make_train_step,
-                                        save_emb)
+                                        make_sparse_train_step,
+                                        init_sparse_state, save_emb)
 
     ds = load_kg_dataset(args.dataset, scale=args.kg_scale)
     print(f"{ds.name}: {ds.num_entities} entities, {ds.num_relations} "
           f"relations, {len(ds.train[0])} train triples")
     model = KEModel(ds.num_entities, ds.num_relations, args.hidden_dim,
                     args.model_name, gamma=args.gamma)
-    tx = optax.adagrad(args.lr)
-    opt_state = tx.init(model.params)
-    step = make_train_step(model, tx, args.neg_chunk_size,
-                           args.neg_adversarial_sampling,
-                           args.adversarial_temperature,
-                           args.regularization_coef)
+    sparse = args.sparse_emb or args.async_update
+    if sparse:
+        state = init_sparse_state(model)
+        if args.async_update:
+            step, empty_pending = make_sparse_train_step(
+                model, args.lr, args.neg_chunk_size,
+                args.neg_adversarial_sampling, args.adversarial_temperature,
+                args.regularization_coef, async_update=True)
+        else:
+            step = make_sparse_train_step(
+                model, args.lr, args.neg_chunk_size,
+                args.neg_adversarial_sampling, args.adversarial_temperature,
+                args.regularization_coef)
+    else:
+        tx = optax.adagrad(args.lr)
+        state = tx.init(model.params)
+        step = make_train_step(model, tx, args.neg_chunk_size,
+                               args.neg_adversarial_sampling,
+                               args.adversarial_temperature,
+                               args.regularization_coef)
     h, r, t = ds.train
     rng = np.random.default_rng(0)
     params = model.params
     C = args.batch_size // args.neg_chunk_size
+    pending = None
+    if args.async_update:
+        pending = empty_pending(args.batch_size,
+                                (C, args.neg_sample_size),
+                                params["entity"].shape[1],
+                                params["relation"].shape[1])
     t0 = time.perf_counter()
     for it in range(args.max_step):
         sel = rng.integers(0, len(h), args.batch_size)
         neg = rng.integers(0, ds.num_entities,
                            (C, args.neg_sample_size)).astype(np.int32)
-        params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(h[sel]), jnp.asarray(r[sel]),
-            jnp.asarray(t[sel]), jnp.asarray(neg),
-            jnp.asarray(bool(it % 2)))   # alternate head/tail corruption
+        batch = (jnp.asarray(h[sel]), jnp.asarray(r[sel]),
+                 jnp.asarray(t[sel]), jnp.asarray(neg),
+                 jnp.asarray(bool(it % 2)))  # alternate head/tail corruption
+        if args.async_update:
+            params, state, loss, pending = step(params, state, *batch,
+                                                pending)
+        else:
+            params, state, loss = step(params, state, *batch)
         if (it + 1) % 500 == 0:
             print(f"step {it+1}: loss {float(loss):.4f} "
                   f"({(it+1)/(time.perf_counter()-t0):.1f} steps/s)")

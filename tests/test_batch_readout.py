@@ -93,3 +93,44 @@ def test_glob_pooling(rng):
     params = s2s.init(jax.random.PRNGKey(0), bg, x)
     out = s2s.apply(params, bg, x)
     assert out.shape == (2, 6)
+
+
+def test_topk_edges(rng):
+    gs = [_mk(rng, 6, 9), _mk(rng, 4, 7)]
+    bg = B.batch(gs)
+    out = R.topk_edges(bg, "w", k=3)
+    assert out.shape == (2, 3, 2)
+    for i, g in enumerate(gs):
+        w = np.asarray(g.edata["w"])
+        want = -np.sort(-w, axis=0)[:3]
+        np.testing.assert_allclose(np.asarray(out[i]), want, rtol=1e-6)
+
+
+def test_set_transformer(rng):
+    import dgl_hack_tpu.nn as gnn
+    gs = [_mk(rng, 6, 9), _mk(rng, 4, 7)]
+    bg = B.batch(gs)
+    x = bg.ndata["h"]
+    enc = gnn.SetTransformerEncoder(d_model=8, n_heads=2, d_head=4,
+                                    d_ff=16, n_layers=2, block_type="isab",
+                                    m=3)
+    p = enc.init(jax.random.PRNGKey(0), bg, x)
+    h = enc.apply(p, bg, x)
+    assert h.shape == (10, 8)
+    dec = gnn.SetTransformerDecoder(d_model=8, num_heads=2, d_head=4,
+                                    d_ff=16, n_layers=1, k=2)
+    pd = dec.init(jax.random.PRNGKey(1), bg, x)
+    out = dec.apply(pd, bg, x)
+    assert out.shape == (2, 16)
+    # pooling must be permutation-invariant within each graph
+    perm = np.concatenate([np.random.default_rng(0).permutation(6),
+                           6 + np.random.default_rng(1).permutation(4)])
+    src, dst = bg.host_edges()
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(10)
+    g2 = dgl.graph((inv[src], inv[dst]), num_nodes=10)
+    g2.batch_num_nodes = bg.batch_num_nodes
+    g2.batch_num_edges = bg.batch_num_edges
+    out2 = dec.apply(pd, g2, x[jnp.asarray(perm)])
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                               rtol=2e-4, atol=2e-4)

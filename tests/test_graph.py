@@ -69,3 +69,46 @@ def test_reverse(rng):
         np.asarray(rg.in_degrees()), np.asarray(g.out_degrees()))
     np.testing.assert_array_equal(
         np.asarray(rg.out_degrees()), np.asarray(g.in_degrees()))
+
+
+def test_group_apply_edges_dst_softmax(rng):
+    """Per-dst softmax via group_apply_edges == edge_softmax oracle."""
+    src = rng.integers(0, 30, 120).astype(np.int32)
+    dst = rng.integers(0, 30, 120).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=30)
+    logits = rng.normal(size=(120, 1)).astype(np.float32)
+    g.edata["e"] = jnp.asarray(logits)
+
+    def udf(edges):
+        x = edges.data["e"][..., 0]                    # (N, deg)
+        x = jnp.where(edges.mask, x, -jnp.inf)
+        x = x - x.max(axis=1, keepdims=True)
+        p = jnp.exp(x) * edges.mask
+        p = p / jnp.maximum(p.sum(axis=1, keepdims=True), 1e-30)
+        return {"a": p[..., None]}
+
+    g.group_apply_edges("dst", udf)
+    ref = dgl.edge_softmax(g, jnp.asarray(logits), order="eid")
+    np.testing.assert_allclose(np.asarray(g.edata["a"]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_group_apply_edges_src(rng):
+    """Grouping by src: per-edge share of its src node's total weight."""
+    src = rng.integers(0, 20, 80).astype(np.int32)
+    dst = rng.integers(0, 20, 80).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=20)
+    w = np.abs(rng.normal(size=(80,)).astype(np.float32)) + 0.1
+    g.edata["w"] = jnp.asarray(w)
+
+    def udf(edges):
+        tot = (edges.data["w"] * edges.mask).sum(axis=1, keepdims=True)
+        return {"share": edges.data["w"] / jnp.maximum(tot, 1e-30)}
+
+    g.group_apply_edges("src", udf)
+    got = np.asarray(g.edata["share"])
+    tot_per_src = np.zeros(20, np.float64)
+    np.add.at(tot_per_src, src, w)
+    want = w / tot_per_src[src]
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=1e-5, atol=1e-6)

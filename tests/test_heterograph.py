@@ -109,3 +109,47 @@ def test_heterograph_serialization(hg, tmp_path):
     s1, d1 = hg.relations[("user", "plays", "game")].host_edges()
     s2, d2 = hg2.relations[("user", "plays", "game")].host_edges()
     np.testing.assert_array_equal(s1, s2)
+
+
+def _mk_hetero(rng, seed_off=0):
+    r = np.random.default_rng(42 + seed_off)
+    nu, ng = int(r.integers(3, 7)), int(r.integers(2, 5))
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): (r.integers(0, nu, 6), r.integers(0, nu, 6)),
+        ("user", "plays", "game"): (r.integers(0, nu, 5), r.integers(0, ng, 5)),
+    }, num_nodes_dict={"user": nu, "game": ng})
+    hg.nodes_data("user")["h"] = jnp.asarray(
+        r.normal(size=(nu, 4)).astype(np.float32))
+    hg.edges_data("plays")["w"] = jnp.asarray(
+        r.normal(size=(5, 2)).astype(np.float32))
+    return hg
+
+
+def test_batch_hetero_roundtrip(rng):
+    gs = [_mk_hetero(rng, i) for i in range(3)]
+    bg = dgl.batch_hetero(gs)
+    assert bg.batch_size == 3
+    assert bg.batch_num_nodes("user") == tuple(g.num_nodes("user") for g in gs)
+    assert bg.batch_num_edges("plays") == tuple(g.num_edges("plays") for g in gs)
+    assert bg.num_nodes("user") == sum(g.num_nodes("user") for g in gs)
+    # message passing on the batched graph == blockdiag of components
+    for g in gs + [bg]:
+        g.multi_update_all(
+            {"plays": (fn.copy_u("h", "m"), fn.sum("m", "out"))}, "sum")
+    got = np.asarray(bg.nodes_data("game")["out"])
+    want = np.concatenate([np.asarray(g.nodes_data("game")["out"])
+                           for g in gs])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # unbatch restores structure and features
+    parts = dgl.unbatch_hetero(bg)
+    assert len(parts) == 3
+    for p, g in zip(parts, gs):
+        assert p.num_nodes("user") == g.num_nodes("user")
+        np.testing.assert_allclose(np.asarray(p.nodes_data("user")["h"]),
+                                   np.asarray(g.nodes_data("user")["h"]))
+        np.testing.assert_allclose(np.asarray(p.edges_data("plays")["w"]),
+                                   np.asarray(g.edges_data("plays")["w"]))
+        s_p, d_p = p.relations[("user", "plays", "game")].host_edges()
+        s_g, d_g = g.relations[("user", "plays", "game")].host_edges()
+        np.testing.assert_array_equal(s_p, s_g)
+        np.testing.assert_array_equal(d_p, d_g)

@@ -104,3 +104,69 @@ def test_sharded_entity_table(rng):
             jnp.arange(8, 16), jnp.zeros((2, 5), jnp.int32),
             jnp.asarray(False))
     assert np.isfinite(float(loss))
+
+
+def _batch(rng, n_ent, B=8, C=2, N=5):
+    heads = jnp.asarray(rng.integers(0, n_ent, B).astype(np.int32))
+    rels = jnp.asarray(rng.integers(0, 3, B).astype(np.int32))
+    tails = jnp.asarray(rng.integers(0, n_ent, B).astype(np.int32))
+    negs = jnp.asarray(rng.integers(0, n_ent, (C, N)).astype(np.int32))
+    return heads, rels, tails, negs
+
+
+def test_sparse_adagrad_matches_dense_oracle(rng):
+    """One sparse-row step == dense autodiff + the reference's adagrad
+    formula (grad_sum=(g*g).mean(1), row -= lr*g/(sqrt(sum)+1e-10))."""
+    from dgl_hack_tpu.models.kg import (init_sparse_state,
+                                        make_sparse_train_step)
+    model = KEModel(30, 3, 8, "DistMult", seed=1)
+    heads, rels, tails, negs = _batch(rng, 30)
+    step = make_sparse_train_step(model, lr=0.1, chunk_size=4)
+    state = init_sparse_state(model)
+    p1, s1, loss = step(dict(model.params), state, heads, rels, tails,
+                        negs, True)
+
+    # dense oracle
+    def lf(p):
+        return model.loss_fn(p, heads, rels, tails, negs, True, 4)
+    g = jax.grad(lf)(dict(model.params))
+    for name, key, table in (("entity", "ent_sum", "entity"),
+                             ("relation", "rel_sum", "relation")):
+        gd = np.asarray(g[name], np.float64)
+        touched = np.nonzero(np.abs(gd).sum(1))[0]
+        sum_new = np.zeros(gd.shape[0])
+        sum_new[touched] = (gd[touched] ** 2).mean(1)
+        upd = np.zeros_like(gd)
+        upd[touched] = -0.1 * gd[touched] / (
+            np.sqrt(sum_new[touched]) + 1e-10)[:, None]
+        want = np.asarray(model.params[table]) + upd
+        np.testing.assert_allclose(np.asarray(p1[table]), want,
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(s1[key])[touched], sum_new[touched],
+            rtol=2e-4, atol=1e-7)
+
+
+def test_sparse_async_update_trains(rng):
+    """async_update applies one-step-stale row updates; loss falls and
+    the first (zero) pending is a no-op."""
+    from dgl_hack_tpu.models.kg import (init_sparse_state,
+                                        make_sparse_train_step)
+    model = KEModel(40, 3, 12, "TransE_l2", gamma=6.0, seed=0)
+    step, empty_pending = make_sparse_train_step(
+        model, lr=0.5, chunk_size=4, async_update=True)
+    params, state = dict(model.params), init_sparse_state(model)
+    p0 = np.asarray(params["entity"]).copy()
+    pending = empty_pending(8, (2, 5), params["entity"].shape[1],
+                            params["relation"].shape[1])
+    losses = []
+    r = np.random.default_rng(3)
+    for i in range(25):
+        heads, rels, tails, negs = _batch(r, 40)
+        params, state, loss, pending = step(params, state, heads, rels,
+                                            tails, negs, (i % 2 == 0),
+                                            pending)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert not np.allclose(np.asarray(params["entity"]), p0)

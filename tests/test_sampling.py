@@ -185,3 +185,26 @@ def test_edge_sampler(g):
     assert b["src"].shape == (64,) and b["neg"].shape == (4, 8)
     gs, gd = g.host_edges()
     np.testing.assert_array_equal(gs[b["eid"]], b["src"])
+
+
+def test_random_walk_with_restart(g, rng):
+    from dgl_hack_tpu.sampling import random_walk_with_restart
+    seeds = [0, 3, 5]
+    traces = random_walk_with_restart(g, seeds, restart_prob=0.3,
+                                      max_nodes_per_seed=6,
+                                      rng=np.random.default_rng(0))
+    assert len(traces) == 3
+    src, dst = g.host_edges()
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), set()).add(int(d))
+    for seed, tr in zip(seeds, traces):
+        assert tr[0] == seed
+        assert len(set(tr.tolist())) == len(tr)      # distinct nodes
+        assert len(tr) <= 6
+        reach = set(tr.tolist()) - {seed}
+        # every visited node reachable from the visited set
+        allowed = set()
+        for v in tr.tolist():
+            allowed |= adj.get(v, set())
+        assert reach <= allowed | {seed}
