@@ -59,3 +59,39 @@ def test_partition_tool(tmp_path, capsys, monkeypatch):
          "--output", str(tmp_path / "parts" / "cora")], capsys)
     assert "part 0:" in out and "part 1:" in out
     assert (tmp_path / "parts" / "cora.part0.npz").exists()
+
+
+def test_train_gin_example(capsys):
+    out = _run_example("examples/train_gin.py",
+                       ["--epochs", "6", "--batch_size", "12"], capsys)
+    import json
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.7
+
+
+def test_train_appnp_example(capsys):
+    out = _run_example("examples/train_appnp.py",
+                       ["--dataset", "synth", "--epochs", "40"], capsys)
+    import json
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.8
+
+
+def test_train_sgc_example(capsys):
+    out = _run_example("examples/train_sgc.py",
+                       ["--dataset", "synth", "--epochs", "40"], capsys)
+    import json
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.8
+
+
+def test_train_kg_async_example(capsys):
+    out = _run_example(
+        "examples/train_kg.py",
+        ["--max_step", "120", "--kg-scale", "0.02", "--batch_size", "128",
+         "--neg_sample_size", "32", "--neg_chunk_size", "16",
+         "--hidden_dim", "32", "--eval_size", "200", "--async_update"],
+        capsys)
+    import json
+    res = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(res["MRR"]) and res["MRR"] > 0
