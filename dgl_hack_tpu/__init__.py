@@ -6,9 +6,11 @@ graphs, fused gSpMM/gSDDMM message passing, nn layer zoo, sampling,
 partitioning and multi-chip distributed training over a jax.sharding.Mesh.
 """
 from . import function  # noqa: F401
-from .core.graph import Graph, graph, block, from_scipy, reverse  # noqa: F401
+from .core.graph import (  # noqa: F401
+    Graph, graph, block, from_scipy, reverse, from_networkx, to_networkx,
+)
 from .core.heterograph import (  # noqa: F401
-    HeteroGraph, heterograph, bipartite, to_homogeneous,
+    HeteroGraph, heterograph, bipartite, to_homogeneous, to_heterogeneous,
 )
 from .core import message as _message  # attaches Graph methods  # noqa: F401
 from .core.message import (  # noqa: F401
@@ -21,7 +23,7 @@ from .core.transform import (  # noqa: F401
     khop_graph, line_graph, to_bidirected, add_self_loop, remove_self_loop,
     to_simple, remove_edges, node_subgraph, edge_subgraph, in_subgraph,
     out_subgraph, compact_graphs, to_block, knn_graph, reorder_graph,
-    add_edges, add_nodes,
+    add_edges, add_nodes, laplacian_lambda_max,
 )
 from .core import traversal, propagate  # noqa: F401
 from .ops.spmm import gspmm  # noqa: F401
@@ -40,8 +42,10 @@ fn = function  # DGL-style alias: dgl.function
 
 __version__ = "0.1.0"
 __all__ = [
-    "Graph", "graph", "block", "from_scipy", "reverse",
+    "Graph", "graph", "block", "from_scipy", "reverse", "from_networkx",
+    "to_networkx",
     "HeteroGraph", "heterograph", "bipartite", "to_homogeneous",
+    "to_heterogeneous", "laplacian_lambda_max",
     "update_all", "apply_edges", "apply_nodes", "send_and_recv", "pull",
     "push", "batch", "unbatch", "batch_hetero", "unbatch_hetero",
     "gspmm", "gsddmm", "edge_softmax",

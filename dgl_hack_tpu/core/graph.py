@@ -436,6 +436,71 @@ def from_scipy(spmat, build_csr: bool = True) -> Graph:
                   n, n, is_block=False, build_csr=build_csr)
 
 
+def from_networkx(nx_graph, node_attrs: Optional[Sequence[str]] = None,
+                  edge_attrs: Optional[Sequence[str]] = None,
+                  build_csr: bool = True) -> Graph:
+    """Graph from a networkx graph (reference: DGLGraph.from_networkx,
+    python/dgl/graph.py / convert.py networkx input path).
+
+    Nodes are relabelled to 0..N-1 in sorted node order; undirected
+    networkx graphs produce both edge directions (matching the
+    reference's behavior).  ``node_attrs``/``edge_attrs`` name per-node /
+    per-edge attributes to copy into ``ndata``/``edata`` (stacked into
+    arrays; edge attributes follow user edge order).
+    """
+    import networkx as nx
+    nodes = sorted(nx_graph.nodes())
+    relabel = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    directed = nx_graph.is_directed()
+    us, vs = [], []
+    edge_rows = []
+    for u, v, data in nx_graph.edges(data=True):
+        us.append(relabel[u]); vs.append(relabel[v])
+        edge_rows.append(data)
+        if not directed:
+            us.append(relabel[v]); vs.append(relabel[u])
+            edge_rows.append(data)
+    src = np.asarray(us, dtype=np.int32)
+    dst = np.asarray(vs, dtype=np.int32)
+    g = _build(src, dst, n, n, is_block=False, build_csr=build_csr)
+    if node_attrs:
+        for key in node_attrs:
+            g.ndata[key] = jnp.asarray(
+                np.stack([np.asarray(nx_graph.nodes[nd][key])
+                          for nd in nodes]))
+    if edge_attrs:
+        for key in edge_attrs:
+            g.edata[key] = jnp.asarray(
+                np.stack([np.asarray(row[key]) for row in edge_rows]))
+    return g
+
+
+def to_networkx(g: Graph, node_attrs: Optional[Sequence[str]] = None,
+                edge_attrs: Optional[Sequence[str]] = None):
+    """Convert to a networkx MultiDiGraph with edge ``id`` attributes
+    (reference: DGLGraph.to_networkx, python/dgl/graph.py)."""
+    import networkx as nx
+    nxg = nx.MultiDiGraph()
+    nxg.add_nodes_from(range(g.num_nodes()))
+    src, dst = g.host_edges()
+    eid = (g.host("int2user") if g.int2user is not None
+           else np.arange(src.shape[0]))
+    # emit in user edge order
+    order = np.argsort(eid, kind="stable")
+    nfeat = {k: np.asarray(g.ndata[k]) for k in (node_attrs or ())}
+    efeat = {k: np.asarray(g.edata[k]) for k in (edge_attrs or ())}
+    for i in order:
+        attrs = {"id": int(eid[i])}
+        for k, v in efeat.items():
+            attrs[k] = v[int(eid[i])]
+        nxg.add_edge(int(src[i]), int(dst[i]), **attrs)
+    for k, v in nfeat.items():
+        for nd in range(g.num_nodes()):
+            nxg.nodes[nd][k] = v[nd]
+    return nxg
+
+
 def reverse(g: Graph) -> Graph:
     """Edge-reversed graph (reference: GraphOp::Reverse,
     src/graph/graph_op.cc; python/dgl/transform.py reverse)."""

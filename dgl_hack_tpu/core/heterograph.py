@@ -282,6 +282,77 @@ def bipartite(edges, utype="_U", etype="_E", vtype="_V",
     return heterograph({(utype, etype, vtype): edges}, nn)
 
 
+def to_heterogeneous(g: Graph, ntypes: Sequence[str],
+                     etypes: Sequence[str],
+                     node_type: Any = None, edge_type: Any = None,
+                     metagraph: Optional[Sequence[CanonicalEtype]] = None
+                     ) -> HeteroGraph:
+    """Inverse of :func:`to_homogeneous` — split a homogeneous graph into
+    a typed heterograph (reference: dgl.to_hetero,
+    python/dgl/convert.py:493).
+
+    ``node_type``/``edge_type`` are per-node / per-edge (user order) type
+    ids into ``ntypes``/``etypes``; they default to ``g.ndata['_TYPE']`` /
+    ``g.edata['_TYPE']``.  Each edge type must connect exactly one
+    (srctype, dsttype) pair unless ``metagraph`` pins the canonical
+    triples.  Per-type original node/edge ids are stored as ``'_ID'`` in
+    the node frames and relation ``edata`` (the reference's NID/EID).
+    Node features in ``g.ndata`` (other than ``_TYPE``) are split
+    per-ntype when every node of the type has them.
+    """
+    nt = np.asarray(node_type if node_type is not None
+                    else g.ndata["_TYPE"]).astype(np.int64)
+    et = np.asarray(edge_type if edge_type is not None
+                    else g.edata["_TYPE"]).astype(np.int64)
+    if nt.shape[0] != g.num_nodes():
+        raise ValueError("node_type length != num_nodes")
+    if et.shape[0] != g.num_edges():
+        raise ValueError("edge_type length != num_edges")
+    src, dst = g.host_edges()  # user edge order
+    # local ids: nodes of each type keep their relative order
+    local = np.zeros(nt.shape[0], np.int64)
+    num_nodes: Dict[str, int] = {}
+    orig_ids: Dict[str, np.ndarray] = {}
+    for i, name in enumerate(ntypes):
+        m = nt == i
+        local[m] = np.arange(int(m.sum()))
+        num_nodes[name] = int(m.sum())
+        orig_ids[name] = np.nonzero(m)[0].astype(np.int32)
+    pinned = {c[1]: c for c in (metagraph or ())}
+    rels: Dict[CanonicalEtype, Graph] = {}
+    rel_eids: Dict[CanonicalEtype, np.ndarray] = {}
+    for j, ename in enumerate(etypes):
+        m = et == j
+        if not m.any() and ename not in pinned:
+            continue
+        s, d = src[m], dst[m]
+        st_ids = np.unique(nt[s]) if s.size else np.zeros(0, np.int64)
+        dt_ids = np.unique(nt[d]) if d.size else np.zeros(0, np.int64)
+        if ename in pinned:
+            cet = pinned[ename]
+        else:
+            if st_ids.size > 1 or dt_ids.size > 1:
+                raise ValueError(
+                    f"edge type {ename!r} spans multiple src/dst node "
+                    f"types; pass metagraph= to disambiguate")
+            cet = (ntypes[int(st_ids[0])], ename, ntypes[int(dt_ids[0])])
+        rels[cet] = _build(local[s].astype(np.int32),
+                           local[d].astype(np.int32),
+                           num_nodes[cet[0]], num_nodes[cet[2]],
+                           is_block=(cet[0] != cet[2]))
+        rel_eids[cet] = np.nonzero(m)[0].astype(np.int32)
+    node_frames: Dict[str, Dict[str, Array]] = {n: {} for n in num_nodes}
+    for name in num_nodes:
+        node_frames[name]["_ID"] = jnp.asarray(orig_ids[name])
+        for key in g.ndata:
+            if key != "_TYPE":
+                node_frames[name][key] = g.ndata[key][orig_ids[name]]
+    hg = HeteroGraph(rels, num_nodes, node_frames)
+    for cet, ids in rel_eids.items():
+        hg.edges_data(cet)["_ID"] = jnp.asarray(ids)
+    return hg
+
+
 def to_homogeneous(hg: HeteroGraph) -> Tuple[Graph, Dict[str, Any]]:
     """Flatten a heterograph to a homogeneous graph with node/edge type
     arrays (reference: dgl.to_homo, python/dgl/convert.py:671).

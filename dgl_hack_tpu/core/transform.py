@@ -18,7 +18,7 @@ from .graph import Graph, _build
 __all__ = ["khop_graph", "line_graph", "to_bidirected", "add_self_loop",
            "remove_self_loop", "to_simple", "remove_edges", "node_subgraph",
            "edge_subgraph", "in_subgraph", "out_subgraph", "compact_graphs",
-           "to_block", "knn_graph"]
+           "to_block", "knn_graph", "laplacian_lambda_max"]
 
 
 def _edges_np(g: Graph) -> Tuple[np.ndarray, np.ndarray]:
@@ -251,6 +251,35 @@ def to_block(frontier: Graph, dst_nodes: Optional[np.ndarray] = None,
         src_ids = np.concatenate(
             [src_ids, np.zeros(num_src - n_src, np.int32)])
     return blk, src_ids.astype(np.int32), dst_nodes
+
+
+def laplacian_lambda_max(g: Graph) -> List[float]:
+    """Largest eigenvalue of the symmetric normalized Laplacian
+    ``I - D^-1/2 A D^-1/2`` per graph in the batch (reference:
+    dgl.laplacian_lambda_max, python/dgl/transform.py — used to scale
+    ChebConv).  Host-side scipy (one-time preprocessing, like the
+    reference's CPU implementation)."""
+    import scipy.sparse.linalg as spla
+    sizes = getattr(g, "batch_num_nodes", None) or (g.num_nodes(),)
+    s, d = _edges_np(g)
+    out = []
+    off = 0
+    for n in sizes:
+        m = (s >= off) & (s < off + n)
+        a = sp.coo_matrix((np.ones(int(m.sum())), (s[m] - off, d[m] - off)),
+                          shape=(n, n)).tocsr()
+        deg = np.asarray(a.sum(1)).ravel()
+        inv_sqrt = np.where(deg > 0, deg, 1.0) ** -0.5
+        dmat = sp.diags(inv_sqrt)
+        lap = sp.eye(n) - dmat @ a @ dmat
+        if n <= 2:
+            out.append(float(np.linalg.eigvals(lap.toarray()).real.max()))
+        else:
+            val = spla.eigs(lap, 1, which="LM", return_eigenvectors=False,
+                            tol=1e-6)
+            out.append(float(val.real[0]))
+        off += n
+    return out
 
 
 def knn_graph(x: np.ndarray, k: int) -> Graph:

@@ -23,3 +23,7 @@ from .synthetic import (  # noqa: F401
     NodeClassificationDataset, planted_partition, synthetic_cora,
     synthetic_reddit, random_power_law_graph,
 )
+from .chem import (  # noqa: F401
+    MoleculeCSVDataset, Tox21, PubChemBioAssayAromaticity,
+    TencentAlchemyDataset, atom_featurizer, bond_featurizer,
+)

@@ -7,7 +7,7 @@ from .conv import (  # noqa: F401
 from .glob import (  # noqa: F401
     SumPooling, AvgPooling, MaxPooling, SortPooling,
     GlobalAttentionPooling, Set2Set, SetTransformerEncoder,
-    SetTransformerDecoder,
+    SetTransformerDecoder, WeightAndSum,
 )
 from .conv_extra import (  # noqa: F401
     GMMConv, DenseSAGEConv, DenseChebConv, KNNGraph, SegmentedKNNGraph,

@@ -24,6 +24,17 @@ class SumPooling(nn.Module):
         return readout.sum_nodes(g, feat)
 
 
+class WeightAndSum(nn.Module):
+    """Per-node sigmoid gate then weighted-sum readout (reference:
+    python/dgl/nn/pytorch/glob.py WeightAndSum — the readout of the chem
+    GCN/GAT classifiers, model_zoo/chem/classifiers.py)."""
+
+    @nn.compact
+    def __call__(self, g: Graph, feat: Array) -> Array:
+        w = nn.sigmoid(nn.Dense(1)(feat))
+        return readout.sum_nodes(g, feat, weight=w[:, 0])
+
+
 class AvgPooling(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, feat: Array) -> Array:

@@ -95,3 +95,21 @@ def test_train_kg_async_example(capsys):
     import json
     res = json.loads(out.strip().splitlines()[-1])
     assert np.isfinite(res["MRR"]) and res["MRR"] > 0
+
+
+def test_train_chem_example(capsys):
+    import json
+    out = _run_example("examples/train_chem.py",
+                       ["--model", "gcn", "--epochs", "6",
+                        "--n_mols", "48"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["model"] == "gcn" and 0.0 <= res["test_acc"] <= 1.0
+
+
+def test_train_chem_schnet_example(capsys):
+    import json
+    out = _run_example("examples/train_chem.py",
+                       ["--model", "schnet", "--epochs", "4",
+                        "--n_mols", "32"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["dataset"] == "alchemy" and res["test_mse"] >= 0

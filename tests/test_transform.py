@@ -117,3 +117,86 @@ def test_reorder_graph(rng):
     out2 = np.asarray(dgl.gspmm(g2, "copy_lhs", "sum",
                                 jnp.asarray(x[ids])))
     np.testing.assert_allclose(out2, out1[ids], rtol=1e-5)
+
+
+def test_laplacian_lambda_max(g):
+    vals = dgl.laplacian_lambda_max(dgl.to_bidirected(g))
+    assert len(vals) == 1
+    assert 0.0 < vals[0] <= 2.0 + 1e-5
+
+
+def test_laplacian_lambda_max_batched():
+    g1 = dgl.to_bidirected(dgl.graph(([0, 1], [1, 2]), num_nodes=3))
+    g2 = dgl.to_bidirected(dgl.graph(([0, 1, 2, 3], [1, 2, 3, 0]),
+                                     num_nodes=4))
+    bg = dgl.batch([g1, g2])
+    vals = dgl.laplacian_lambda_max(bg)
+    singles = (dgl.laplacian_lambda_max(g1)[0],
+               dgl.laplacian_lambda_max(g2)[0])
+    assert np.allclose(vals, singles, atol=1e-4)
+
+
+def test_networkx_roundtrip():
+    import networkx as nx
+    nxg = nx.DiGraph([(0, 1), (1, 2), (2, 0), (2, 3)])
+    g = dgl.from_networkx(nxg)
+    assert g.num_nodes() == 4 and g.num_edges() == 4
+    back = dgl.to_networkx(g)
+    assert set(back.edges()) == set(nxg.edges())
+    # undirected source: both directions materialize
+    und = dgl.from_networkx(nx.Graph([(0, 1), (1, 2)]))
+    assert und.num_edges() == 4
+    s, d = (np.asarray(x) for x in und.edges(order="eid"))
+    assert (1, 0) in set(zip(s.tolist(), d.tolist()))
+
+
+def test_networkx_attrs():
+    import networkx as nx
+    nxg = nx.DiGraph()
+    nxg.add_node(0, h=np.array([1.0, 2.0]))
+    nxg.add_node(1, h=np.array([3.0, 4.0]))
+    nxg.add_edge(0, 1, w=np.float32(0.5))
+    g = dgl.from_networkx(nxg, node_attrs=["h"], edge_attrs=["w"])
+    assert np.allclose(np.asarray(g.ndata["h"]), [[1, 2], [3, 4]])
+    assert np.allclose(np.asarray(g.edata["w"]), [0.5])
+
+
+def test_to_heterogeneous_roundtrip():
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): ([0, 1], [1, 2]),
+        ("user", "plays", "game"): ([0, 2], [0, 1]),
+    })
+    homo, info = dgl.to_homogeneous(hg)
+    homo.ndata["_TYPE"] = info["node_types"]
+    homo.edata["_TYPE"] = info["edge_types"]
+    etype_names = [c[1] for c in info["etypes"]]
+    hg2 = dgl.to_heterogeneous(homo, info["ntypes"], etype_names)
+    assert set(hg2.ntypes) == set(hg.ntypes)
+    assert hg2.num_nodes("user") == 3 and hg2.num_nodes("game") == 2
+    for cet in hg.canonical_etypes:
+        s0, d0 = (np.asarray(x) for x in hg.relations[cet].edges(order="eid"))
+        s1, d1 = (np.asarray(x) for x in hg2.relations[cet].edges(order="eid"))
+        assert sorted(zip(s0.tolist(), d0.tolist())) == \
+            sorted(zip(s1.tolist(), d1.tolist()))
+    # original ids preserved
+    uid = np.asarray(hg2.nodes_data("user")["_ID"])
+    assert uid.shape == (3,)
+
+
+def test_to_heterogeneous_features():
+    g = dgl.graph(([0, 1, 0], [1, 2, 3]), num_nodes=4)
+    g.ndata["_TYPE"] = np.array([0, 0, 1, 1], np.int32)
+    g.edata["_TYPE"] = np.array([0, 1, 1], np.int32)
+    g.ndata["h"] = np.arange(8, dtype=np.float32).reshape(4, 2)
+    hg = dgl.to_heterogeneous(g, ["a", "b"], ["e0", "e1"])
+    assert hg.num_nodes("a") == 2 and hg.num_nodes("b") == 2
+    assert ("a", "e1", "b") in hg.canonical_etypes
+    # node features split per type, preserving original order
+    ha = np.asarray(hg.nodes_data("a")["h"])
+    hb = np.asarray(hg.nodes_data("b")["h"])
+    assert np.allclose(ha, [[0, 1], [2, 3]])
+    assert np.allclose(hb, [[4, 5], [6, 7]])
+    # local edge endpoints remapped: 1->2 becomes a1 -> b0
+    s, d = (np.asarray(x)
+            for x in hg.relations[("a", "e1", "b")].edges(order="eid"))
+    assert sorted(zip(s.tolist(), d.tolist())) == [(0, 1), (1, 0)]
