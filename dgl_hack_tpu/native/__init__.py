@@ -79,6 +79,63 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
 
 
+_NET_SO = os.path.join(_HERE, "libnetcomm.so")
+_NET_SRC = os.path.join(_HERE, "netcomm.cpp")
+_net_lib: Optional[ctypes.CDLL] = None
+_net_tried = False
+
+
+def get_net_lib() -> Optional[ctypes.CDLL]:
+    """The native TCP transport (netcomm.cpp), or None if unavailable.
+
+    The distributed KVStore falls back to an in-process loopback queue
+    when native sockets can't be built, so tests/import never hard-fail.
+    """
+    global _net_lib, _net_tried
+    with _lock:
+        if _net_lib is not None or _net_tried:
+            return _net_lib
+        _net_tried = True
+        if os.environ.get("DGL_TPU_DISABLE_NATIVE") == "1":
+            return None
+        if not os.path.exists(_NET_SO) or \
+                os.path.getmtime(_NET_SO) < os.path.getmtime(_NET_SRC):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     _NET_SRC, "-o", _NET_SO, "-lpthread"],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_NET_SO)
+        except OSError:
+            return None
+        c = ctypes
+        lib.nc_receiver_create.restype = c.c_int64
+        lib.nc_receiver_create.argtypes = [c.c_int, c.c_int]
+        lib.nc_receiver_wait_connected.restype = c.c_int
+        lib.nc_receiver_wait_connected.argtypes = [c.c_int64, c.c_int]
+        lib.nc_recv.restype = c.c_int64
+        # void* out-pointer: c_char_p would stop at the first NUL byte
+        lib.nc_recv.argtypes = [c.c_int64, c.POINTER(c.c_void_p),
+                                c.POINTER(c.c_int)]
+        lib.nc_free.restype = None
+        lib.nc_free.argtypes = [c.c_void_p]
+        lib.nc_receiver_destroy.restype = None
+        lib.nc_receiver_destroy.argtypes = [c.c_int64]
+        lib.nc_sender_create.restype = c.c_int64
+        lib.nc_sender_create.argtypes = [c.POINTER(c.c_char_p),
+                                         c.POINTER(c.c_int), c.c_int,
+                                         c.c_int, c.c_int]
+        lib.nc_send.restype = c.c_int
+        lib.nc_send.argtypes = [c.c_int64, c.c_int, c.c_char_p, c.c_int64]
+        lib.nc_sender_destroy.restype = None
+        lib.nc_sender_destroy.argtypes = [c.c_int64]
+        _net_lib = lib
+        return _net_lib
+
+
 def _ptr(a, typ):
     return a.ctypes.data_as(typ)
 

@@ -515,13 +515,16 @@ def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
 # Applies to unweighted copy_u (GCN/SAGE aggregation): C is static per
 # graph.  Weighted ops (u_mul_e) keep the full sparse plan.
 
-GATHER_NS_PER_ROW = 7.3          # measured, KERNELS.md
+GATHER_NS_PER_ROW = 4.68         # measured clean rate (KERNELS.md v2 sweep)
 HBM_BYTES_PER_S = 819e9          # v5e
 
 
-def _dense_breakeven(num_src: int, tr: int, passes: int = 2) -> int:
+def _dense_breakeven(num_src: int, tr: int, passes: int = 1) -> int:
     """Edges/window above which reading a dense bf16 C row-block beats
-    gathering the window's source rows."""
+    gathering the window's source rows.  passes=1: _dense_matmul reads C
+    ONCE (hi||lo concat); measured sweep (tools/tune_hybrid.py) confirms
+    the resulting ~67k threshold beats the old 2-pass/7.3 ns model by
+    ~4% on the headline bench."""
     read_s = passes * tr * num_src * 2 / HBM_BYTES_PER_S
     return max(4 * tr, int(read_s / (GATHER_NS_PER_ROW * 1e-9)))
 

@@ -65,3 +65,143 @@ def test_sampler_with_prefetch(rng):
         assert len(blocks) == 2
         n += 1
     assert n == 3
+
+
+# ---------------------------------------------------------------------------
+# KVStore (reference: tests/compute/test_kvstore.py — server+client over
+# 127.0.0.1; here both the native TCP transport and the loopback fallback)
+# ---------------------------------------------------------------------------
+def _run_kvstore_scenario(server_t, client_t, num_servers=2, num_clients=2):
+    import threading
+    import numpy as np
+    from dgl_hack_tpu.distributed import KVServer, KVClient
+
+    N, F = 40, 4
+    book = (np.arange(N) >= N // 2).astype(np.int64)  # range partition
+    shards = [np.zeros((N // 2, F), np.float32) for _ in range(num_servers)]
+
+    def serve(i):
+        sv = KVServer(i, num_clients, transport=server_t(i))
+        sv.init_data("emb", shards[i], offset=i * (N // 2))
+        sv.start()
+
+    threads = [threading.Thread(target=serve, args=(i,), daemon=True)
+               for i in range(num_servers)]
+    for t in threads:
+        t.start()
+
+    clients = []
+    def connect(i):
+        c = KVClient(i, num_servers, transport=client_t(i))
+        c.set_partition_book("emb", book)
+        clients.append(c)
+    cts = [threading.Thread(target=connect, args=(i,))
+           for i in range(num_clients)]
+    for t in cts:
+        t.start()
+    for t in cts:
+        t.join()
+
+    clients.sort(key=lambda c: c.client_id)
+    c0, c1 = clients[0], clients[1]
+    ids = np.array([0, 3, 25, 39, 3])
+    c0.push("emb", ids, np.ones((5, F), np.float32))
+    # a barrier completes only when EVERY client enters it — run them
+    # concurrently (each client is its own process in the reference)
+    bt = threading.Thread(target=c1.barrier)
+    bt.start()
+    c0.barrier()
+    bt.join()
+    got = c1.pull("emb", np.array([3, 25, 1]))
+    assert np.allclose(got[0], 2.0)     # id 3 pushed twice
+    assert np.allclose(got[1], 1.0)
+    assert np.allclose(got[2], 0.0)
+    # cross-partition pull in one call, including repeats
+    got2 = c0.pull("emb", np.array([39, 0, 39]))
+    assert np.allclose(got2[0], 1.0) and np.allclose(got2[2], 1.0)
+    for c in clients:
+        c.shutdown()
+    for t in threads:
+        t.join(timeout=10)
+        assert not t.is_alive()
+
+
+def test_kvstore_loopback():
+    from dgl_hack_tpu.distributed.kvstore import make_transports
+    st, ct = make_transports(2, 2, base_port=0)
+    _run_kvstore_scenario(st, ct)
+
+
+def test_kvstore_native_tcp():
+    from dgl_hack_tpu.native import get_net_lib
+    if get_net_lib() is None:
+        import pytest
+        pytest.skip("native netcomm unavailable")
+    import socket
+    from dgl_hack_tpu.distributed.kvstore import make_transports
+    # find a free port block
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    base = s.getsockname()[1]
+    s.close()
+    if base > 64000:
+        base = 23000
+    st, ct = make_transports(2, 2, base_port=base, use_native=True)
+    _run_kvstore_scenario(st, ct)
+
+
+def test_kvstore_fastpull_local_shard():
+    """FastPull: a co-located shard is read without network round-trips."""
+    import threading
+    import numpy as np
+    from dgl_hack_tpu.distributed import KVServer, KVClient
+    from dgl_hack_tpu.distributed.kvstore import make_transports
+
+    st, ct = make_transports(1, 1)
+    N, F = 10, 2
+    shard = np.arange(N * F, dtype=np.float32).reshape(N, F)
+
+    sv = KVServer(0, 1, transport=st(0))
+    sv.init_data("x", shard.copy())
+    th = threading.Thread(target=sv.start, daemon=True)
+    th.start()
+    c = KVClient(0, 1, transport=ct(0))
+    c.set_partition_book("x", np.zeros(N, np.int64))
+    c.set_local_shard("x", 0, shard)     # all rows local
+    got = c.pull("x", np.array([2, 7]))
+    assert np.allclose(got, shard[[2, 7]])
+    c.shutdown()
+    th.join(timeout=5)
+
+
+def test_kvstore_custom_push_handler():
+    """KGEServer pattern (reference: apps/kg/kvserver.py:35): override the
+    push handler — here a sparse-Adagrad-style scaled update."""
+    import threading
+    import numpy as np
+    from dgl_hack_tpu.distributed import KVServer, KVClient
+    from dgl_hack_tpu.distributed.kvstore import make_transports
+
+    class AdaServer(KVServer):
+        def _push_handler(self, name, local_ids, data):
+            state = self._data[name + "_state"]
+            np.add.at(state, local_ids, (data ** 2).sum(-1))
+            scale = 1.0 / np.sqrt(state[local_ids] + 1e-10)
+            np.add.at(self._data[name], local_ids, -0.1 * data
+                      * scale[:, None])
+
+    st, ct = make_transports(1, 1)
+    N, F = 6, 3
+    sv = AdaServer(0, 1, transport=st(0))
+    sv.init_data("w", np.zeros((N, F), np.float32))
+    sv.init_data("w_state", np.zeros(N, np.float32))
+    th = threading.Thread(target=sv.start, daemon=True)
+    th.start()
+    c = KVClient(0, 1, transport=ct(0))
+    c.set_partition_book("w", np.zeros(N, np.int64))
+    g = np.ones((2, F), np.float32)
+    c.push("w", np.array([1, 4]), g)
+    c.barrier()
+    got = c.pull("w", np.array([1, 4, 0]))
+    assert np.all(got[:2] < 0) and np.allclose(got[2], 0.0)
+    c.shutdown()
+    th.join(timeout=5)
