@@ -4,3 +4,7 @@ from .feature_store import FeatureStore  # noqa: F401
 from .kvstore import (  # noqa: F401
     KVServer, KVClient, NativeTransport, LoopbackTransport, make_transports,
 )
+from .dis_sampler import (  # noqa: F401
+    SamplerSender, SamplerReceiver, SamplerPool,
+    serialize_sample, deserialize_sample,
+)

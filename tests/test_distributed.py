@@ -205,3 +205,91 @@ def test_kvstore_custom_push_handler():
     assert np.all(got[:2] < 0) and np.allclose(got[2], 0.0)
     c.shutdown()
     th.join(timeout=5)
+
+
+# ---------------------------------------------------------------------------
+# Distributed sampler service (reference: tests/compute/test_dis_sampler.py)
+# ---------------------------------------------------------------------------
+def test_sampler_serialize_roundtrip():
+    import numpy as np
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.sampling import MultiLayerNeighborSampler
+    from dgl_hack_tpu.distributed import serialize_sample, deserialize_sample
+
+    rng = np.random.default_rng(0)
+    g = dgl.graph((rng.integers(0, 50, 300), rng.integers(0, 50, 300)),
+                  num_nodes=50)
+    sampler = MultiLayerNeighborSampler([3, 2], seed=0)
+    blocks, inp, seeds = sampler.sample_blocks(g, np.arange(8))
+    b2, i2, s2 = deserialize_sample(serialize_sample(blocks, inp, seeds))
+    assert np.array_equal(i2, inp) and np.array_equal(s2, seeds)
+    assert len(b2) == len(blocks)
+    for a, b in zip(blocks, b2):
+        assert a.num_src_nodes == b.num_src_nodes
+        assert a.num_dst_nodes == b.num_dst_nodes
+        sa, da = a.host_edges(); sb, db = b.host_edges()
+        assert np.array_equal(sa, sb) and np.array_equal(da, db)
+        if a.edge_mask is not None:
+            assert b.edge_mask is not None
+            ea = np.asarray(a.edge_mask); eb = np.asarray(b.edge_mask)
+            assert np.array_equal(ea, eb)
+
+
+def test_sampler_service_end_to_end():
+    """Two sampler workers stream batches to one trainer over the
+    native transport (loopback fallback if no toolchain)."""
+    import threading
+    import numpy as np
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.sampling import MultiLayerNeighborSampler
+    from dgl_hack_tpu.distributed import SamplerSender, SamplerReceiver
+    from dgl_hack_tpu.distributed.kvstore import (LoopbackTransport,
+                                                  NativeTransport)
+    from dgl_hack_tpu.native import get_net_lib
+
+    rng = np.random.default_rng(1)
+    g = dgl.graph((rng.integers(0, 40, 200), rng.integers(0, 40, 200)),
+                  num_nodes=40)
+
+    if get_net_lib() is not None:
+        import socket
+        s = socket.socket(); s.bind(("127.0.0.1", 0))
+        base = min(s.getsockname()[1], 25000); s.close()
+        def recv_t():
+            return NativeTransport(0, base, [], num_inbound=2)
+        def send_t(i):
+            return NativeTransport(i, base + 1 + i, [("127.0.0.1", base)],
+                                   num_inbound=0)
+    else:
+        def recv_t():
+            return LoopbackTransport(0, "trainer", [])
+        def send_t(i):
+            return LoopbackTransport(i, f"sampler{i}", ["trainer"])
+
+    recv_holder = {}
+    def trainer_setup():
+        recv_holder["r"] = SamplerReceiver(recv_t(), num_senders=2)
+    rt = threading.Thread(target=trainer_setup); rt.start()
+
+    def work(i):
+        sampler = MultiLayerNeighborSampler([2], seed=i)
+        sender = SamplerSender(send_t(i))
+        for _ in range(3):
+            blocks, inp, seeds = sampler.sample_blocks(
+                g, rng.integers(0, 40, 4))
+            sender.send(blocks, inp, seeds)
+        sender.signal_end()
+
+    ws = [threading.Thread(target=work, args=(i,), daemon=True)
+          for i in range(1, 3)]
+    for w in ws:
+        w.start()
+    rt.join()
+    got = list(recv_holder["r"])
+    assert len(got) == 6
+    for blocks, inp, seeds in got:
+        assert len(blocks) == 1 and seeds.shape[0] == 4
+        assert blocks[0].num_dst_nodes == 4
+    for w in ws:
+        w.join(timeout=5)
+    recv_holder["r"].close()
