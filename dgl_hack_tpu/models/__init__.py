@@ -4,3 +4,4 @@ from . import chem  # noqa: F401
 from .chem import (  # noqa: F401
     SchNet, MGCN, MPNN, AttentiveFP, GCNClassifier, GATClassifier,
 )
+from .dgmg import DGMG, build_action_trace  # noqa: F401

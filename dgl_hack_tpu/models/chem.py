@@ -10,12 +10,11 @@ padded static-shape graph batching, so the whole forward (including the
 per-graph readouts) lowers to one XLA computation — there is no per-layer
 kernel zoo and no degree bucketing.
 
-Out of scope (generative, host-sequential by construction): DGMG
-(model_zoo/chem/dgmg.py — autoregressive graph construction with
-data-dependent action loops) and JTNN (jtnn/ — junction-tree VAE over
-RDKit chemistry); both build DYNAMIC graphs per decoding step, which is
-host-side orchestration rather than TPU compute.  Their compute kernels
-(message passing, readouts, GRU cells) are all present here.
+DGMG (autoregressive graph generation) lives in models/dgmg.py as a
+static-shape scan reformulation.  Out of scope: JTNN (jtnn/ —
+junction-tree VAE requiring RDKit tree decomposition of real molecules);
+its compute kernels (message passing, GRU cells, readouts) are all
+present here.
 """
 from __future__ import annotations
 
