@@ -2,6 +2,6 @@
 from .gnn_models import GCN, GAT, GraphSAGE, RGCN, GIN, MLPPredictor  # noqa: F401
 from . import chem  # noqa: F401
 from .chem import (  # noqa: F401
-    SchNet, MGCN, MPNN, AttentiveFP, GCNClassifier, GATClassifier,
+    SchNet, MGCN, MPNN, AttentiveFP, GCNClassifier, GATClassifier, ACNN,
 )
 from .dgmg import DGMG, build_action_trace  # noqa: F401

@@ -503,3 +503,73 @@ class AttentiveFP(nn.Module):
         if get_node_weight:
             return out, weights
         return out
+
+
+# ---------------------------------------------------------------------------
+# ACNN (reference: model_zoo/chem/acnn.py + nn/pytorch/conv/atomicconv.py)
+# ---------------------------------------------------------------------------
+class ACNNPredictor(nn.Module):
+    """Shared per-atom energy MLP (reference: acnn.py ACNNPredictor):
+    the SAME network scores ligand, protein and complex atoms; the
+    prediction is the complex energy minus the fragment energies."""
+    hidden_sizes: Sequence[int] = (32, 16)
+    dropouts: Sequence[float] = (0.0, 0.0)
+    num_tasks: int = 1
+
+    @nn.compact
+    def __call__(self, feats: Array, deterministic: bool = True) -> Array:
+        h = feats
+        for size, p in zip(self.hidden_sizes, self.dropouts):
+            h = nn.relu(nn.Dense(size)(h))
+            h = nn.Dropout(p, deterministic=deterministic)(h)
+        return nn.Dense(self.num_tasks)(h)
+
+
+class ACNN(nn.Module):
+    """Atomic convolutional network for protein-ligand binding affinity
+    (reference: acnn.py ACNN): three AtomicConv towers (ligand, protein,
+    complex) + a shared energy head; output = E(complex) - E(ligand) -
+    E(protein), per graph in the batch."""
+    hidden_sizes: Sequence[int] = (32, 16)
+    dropouts: Sequence[float] = (0.0, 0.0)
+    features_to_use: Optional[tuple] = None
+    interaction_cutoffs: tuple = (12.0,)
+    rbf_kernel_means: tuple = (0.0, 2.0, 4.0, 6.0, 8.0)
+    rbf_kernel_scaling: tuple = (4.0,)
+    num_tasks: int = 1
+
+    def _tower(self, name):
+        from ..nn.conv_extra import AtomicConv
+        return AtomicConv(self.interaction_cutoffs, self.rbf_kernel_means,
+                          self.rbf_kernel_scaling, self.features_to_use,
+                          name=name)
+
+    @nn.compact
+    def __call__(self, ligand_g: Graph, protein_g: Graph,
+                 complex_g: Graph, complex_ligand_mask: Array,
+                 deterministic: bool = True) -> Array:
+        """Graphs are batched (B pairs); each carries ndata
+        'atomic_number' (V,1) and edata 'distance' (E,1).
+        complex_ligand_mask (V_complex,) marks the ligand atoms inside
+        the batched complex (the frag index arrays of the reference)."""
+        pred = ACNNPredictor(tuple(self.hidden_sizes),
+                             tuple(self.dropouts), self.num_tasks)
+
+        def conv_energy(g, tower, weight=None):
+            feats = tower(g, g.ndata["atomic_number"],
+                          g.edata_internal["distance"])
+            atom_e = pred(feats, deterministic)
+            return readout.sum_nodes(g, atom_e, weight=weight)
+
+        lig = conv_energy(ligand_g, self._tower("ligand_conv"))
+        prot = conv_energy(protein_g, self._tower("protein_conv"))
+        tower_c = self._tower("complex_conv")
+        mask = complex_ligand_mask.astype(jnp.float32)
+        c_lig = conv_energy(complex_g, tower_c, weight=mask)
+        # reuse the SAME complex tower for the protein part
+        feats_c = tower_c(complex_g, complex_g.ndata["atomic_number"],
+                          complex_g.edata_internal["distance"])
+        atom_e_c = pred(feats_c, deterministic)
+        c_prot = readout.sum_nodes(complex_g, atom_e_c,
+                                   weight=1.0 - mask)
+        return (c_lig + c_prot) - (lig + prot)

@@ -131,3 +131,50 @@ class SegmentedKNNGraph(nn.Module):
         return _build(np.concatenate(srcs).astype(np.int32),
                       np.concatenate(dsts).astype(np.int32),
                       int(offs[-1]), int(offs[-1]), is_block=False)
+
+
+class AtomicConv(nn.Module):
+    """Atomic convolution (reference: nn/pytorch/conv/atomicconv.py —
+    RadialPooling + per-atom-type neighbor pooling, used by the ACNN
+    protein-ligand model).
+
+    e^k_ij = exp(-gamma_k (r_ij - r_k)^2) * cutoff_k(r_ij) with the
+    cosine cutoff; each atom pools e^k over neighbors of each atomic
+    type t: out[i, k*T + t] = sum_{j in N(i), z_j = t} e^k_ij.
+    cutoffs/means/scaling are learnable (K,) parameters, initialized
+    from the given options (the reference stores them the same way).
+    """
+    interaction_cutoffs: tuple = (12.0,)
+    rbf_kernel_means: tuple = (0.0, 2.0, 4.0, 6.0, 8.0)
+    rbf_kernel_scaling: tuple = (4.0,)
+    features_to_use: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, distances):
+        """feat (V, 1) atomic numbers; distances (E, 1) internal order;
+        returns (V, K*T) float32."""
+        import itertools
+        import numpy as np
+        radial = list(itertools.product(self.interaction_cutoffs,
+                                        self.rbf_kernel_means,
+                                        self.rbf_kernel_scaling))
+        K = len(radial)
+        init = lambda col: lambda *a: jnp.asarray(
+            np.array([r[col] for r in radial], np.float32))
+        cut = self.param("interaction_cutoffs", init(0))
+        mean = self.param("rbf_kernel_means", init(1))
+        scale = self.param("rbf_kernel_scaling", init(2))
+        d = distances.reshape(-1, 1).astype(jnp.float32)        # (E, 1)
+        rbf = jnp.exp(-scale[None, :] * (d - mean[None, :]) ** 2)
+        cos = 0.5 * (jnp.cos(jnp.pi * d / cut[None, :]) + 1.0)
+        e = rbf * jnp.where(d <= cut[None, :], cos, 0.0)        # (E, K)
+        if self.features_to_use is not None:
+            types = jnp.asarray(self.features_to_use,
+                                feat.dtype)                     # (T,)
+            hv = (feat.reshape(-1, 1) == types[None, :]) \
+                .astype(jnp.float32)                            # (V, T)
+        else:
+            hv = jnp.ones((g.num_src_nodes, 1), jnp.float32)
+        hsrc = gsddmm(g, "copy_lhs", hv, None, "u")             # (E, T)
+        m = (e[:, :, None] * hsrc[:, None, :]).reshape(e.shape[0], -1)
+        return gspmm(g, "copy_rhs", "sum", None, m)             # (V, K*T)

@@ -61,7 +61,7 @@ def gat_attention(g, fsrc: Array, el: Array, er: Array,
         return gat_attention_pallas(
             g.spmm_plan_meta, g.spmm_plan_arrays, g.src, g.dst, fsrc, el,
             er, attn_w, negative_slope, mode=cfg.spmm_mode,
-            softmax=cfg.gat_softmax)
+            softmax=cfg.gat_softmax, packed=cfg.gat_packed)
     # composed XLA fallback (also the test oracle)
     e = gsddmm(g, "add", el[:, :, None], er[:, :, None], "u", "v")
     e = jax.nn.leaky_relu(e, negative_slope)

@@ -90,6 +90,42 @@ def _mxu_sel_t(vals: Array, mask: Array, mode: str) -> Array:
             + jnp.dot(lo, mb, preferred_element_type=jnp.float32))
 
 
+def _pack_z(z: Array, HD: int) -> Array:
+    """(N, HD+H) f32 -> (N, HD/2 + H) uint32 packed z rows.
+
+    The Wh FEATURE half is bf16-quantized with the row's first feature
+    half in the low 16 bits and the second half in the high bits —
+    half-packing (not pair-packing) keeps the unpacked columns in
+    natural order, so the kernel reconstructs with one concatenate.  The
+    el LOGIT lanes stay EXACT f32 (same-width bitcast): attention-logit
+    gradients are cancellation-sensitive (measured 0.42 rel err on der
+    with bf16 logits vs 3e-3 with f32 logits), while the value features
+    tolerate bf16.  Gather cost scales with LANE count (KERNELS.md width
+    law: measured 8.3 vs 12.0 ns/row at W=528 -> W=264), so the dominant
+    z gather runs at ~half the lanes for H << HD.  Requires HD even."""
+    feat, el = z[:, :HD], z[:, HD:]
+    fb = feat.astype(jnp.bfloat16)
+    lo = jax.lax.bitcast_convert_type(fb[:, :HD // 2], jnp.uint16)
+    hi = jax.lax.bitcast_convert_type(fb[:, HD // 2:], jnp.uint16)
+    fp = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
+    elu = jax.lax.bitcast_convert_type(el.astype(jnp.float32), jnp.uint32)
+    return jnp.concatenate([fp, elu], axis=1)
+
+
+def _unpack_z(zp: Array, HD: int, H: int):
+    """Kernel-side inverse of _pack_z: (T, HD/2+H) u32 ->
+    ((T, HD) f32 features, (T, H) f32 logits).  Two same-width bitcasts
+    recover the bf16 halves (bf16 bits b == f32 bits b<<16) — Mosaic has
+    no bitwidth-changing bitcast, this avoids needing one."""
+    fp = zp[:, :HD // 2]
+    lo = jax.lax.bitcast_convert_type(fp << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(fp & np.uint32(0xFFFF0000),
+                                      jnp.float32)
+    el = jax.lax.bitcast_convert_type(zp[:, HD // 2:HD // 2 + H],
+                                      jnp.float32)
+    return jnp.concatenate([lo, hi], axis=1), el
+
+
 def _gat_kernel(window_ref, lr_ref, z_ref, er_ref, *rest, tr: int, te: int,
                 H: int, D: int, slope: float, mode: str, has_w: bool):
     if has_w:
@@ -105,8 +141,11 @@ def _gat_kernel(window_ref, lr_ref, z_ref, er_ref, *rest, tr: int, te: int,
     St = lr_col == jax.lax.broadcasted_iota(jnp.int32, (te, tr), 1)
     validH = jnp.broadcast_to(lr[:, None], (te, H)) < tr     # (TE, H)
 
-    z = z_ref[:]                                             # (TE, HD+H)
-    el_e = z[:, HD:HD + H]                                   # (TE, H)
+    z = z_ref[:]                                  # (TE, HD+H) or packed
+    if z.dtype == jnp.uint32:                     # packed: bf16 feats
+        zf, el_e = _unpack_z(z, HD, H)
+    else:
+        zf, el_e = z[:, :HD], z[:, HD:HD + H]
     er_e = _mxu_sel(St, er_ref[:], mode)                     # (TE, H)
     raw = el_e + er_e
     logit = jnp.where(raw >= 0, raw, np.float32(slope) * raw)
@@ -133,7 +172,7 @@ def _gat_kernel(window_ref, lr_ref, z_ref, er_ref, *rest, tr: int, te: int,
     head_h = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
     R = lane_h == head_h                                     # (H, HD) 0/1
     p_exp = _mxu_sel_t(pw, R, mode)                          # (TE, HD)
-    wz = z[:, :HD] * p_exp
+    wz = zf * p_exp
 
     num_c = _mxu_sel(S, wz, mode)                            # (TR, HD)
     den_c = _mxu_sel(S, p, mode)                             # (TR, H)
@@ -176,8 +215,11 @@ def _gat_kernel_shift(window_ref, lr_ref, z_ref, ec_ref, *rest, tr: int,
     St = lr_col == jax.lax.broadcasted_iota(jnp.int32, (te, tr), 1)
     validH = jnp.broadcast_to(lr[:, None], (te, H)) < tr     # (TE, H)
 
-    z = z_ref[:]                                             # (TE, HD+H)
-    el_e = z[:, HD:HD + H]                                   # (TE, H)
+    z = z_ref[:]                                  # (TE, HD+H) or packed
+    if z.dtype == jnp.uint32:                     # packed: bf16 feats
+        zf, el_e = _unpack_z(z, HD, H)
+    else:
+        zf, el_e = z[:, :HD], z[:, HD:HD + H]
     ec = _mxu_sel(St, ec_ref[:], mode)                       # (TE, 2H)
     er_e, c_e = ec[:, :H], ec[:, H:]
     raw = el_e + er_e
@@ -190,7 +232,7 @@ def _gat_kernel_shift(window_ref, lr_ref, z_ref, ec_ref, *rest, tr: int,
     head_h = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
     R = lane_h == head_h
     p_exp = _mxu_sel_t(pw, R, mode)                          # (TE, HD)
-    wz = z[:, :HD] * p_exp
+    wz = zf * p_exp
     contrib = jnp.concatenate(
         [_mxu_sel(S, wz, mode), _mxu_sel(S, p, mode)], axis=1)
 
@@ -245,7 +287,7 @@ def _gat_chunk_call(win: Array, lr: Array, z_g: Array, er_chunk: Array,
 
 def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
                  w: Optional[Array], E: int, slope: float, mode: str,
-                 softmax: str):
+                 softmax: str, packed: bool = False):
     """Scan chunks; merge chunk-split windows (online-softmax combine in
     'exact' mode, plain add in 'shift' mode).  Returns
     (rst (N_dst, HD), den (N_dst, H), shift (N_dst, H)) where shift is
@@ -261,6 +303,12 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     out_len = wc * tr
     pad_rows = ((num_rows + tr - 1) // tr) * tr + out_len
     erf = er.astype(jnp.float32)
+    if packed:
+        # ~half the gather lanes (KERNELS.md width law): bf16 features,
+        # exact-f32 logits
+        ztab = _pack_z(z, HD)
+    else:
+        ztab = z
     if not exact:
         # dense upper bound: logit <= leaky(max_u el[u] + er[v]) (leaky
         # monotone) => exp(logit - c) <= 1; softmax is shift-invariant
@@ -288,7 +336,7 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
         # scan-free single-kernel path (flat plan: absolute windows,
         # row0 = 0, wc covers all output windows)
         gidx, perm, lr, win, _, cover = (a[0] for a in plan_arrays)
-        zg = z[gidx]
+        zg = ztab[gidx]
         wg = None
         if w is not None:
             wg = (w[jnp.minimum(perm, E - 1)].astype(jnp.float32)
@@ -313,7 +361,7 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
 
     def body(acc, xs):
         gidx, perm, lr, win, row0, cover = xs
-        zg = z[gidx]
+        zg = ztab[gidx]
         er_chunk = jax.lax.dynamic_slice(
             er_pad, (row0, 0), (out_len, er_pad.shape[1]))
         wg = None
@@ -354,24 +402,26 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
 # ---------------------------------------------------------------------------
 # custom VJP
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, z, er, w,
-               src, dst, *plan_arrays):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed, z,
+               er, w, src, dst, *plan_arrays):
     rst, _, _ = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
                              w if has_w else None, src.shape[0], slope,
-                             mode, softmax)
+                             mode, softmax, packed)
     return rst
 
 
-def _gat_fused_fwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, z, er,
-                   w, src, dst, *plan_arrays):
+def _gat_fused_fwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
+                   z, er, w, src, dst, *plan_arrays):
     rst, den, m = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
                                w if has_w else None, src.shape[0], slope,
-                               mode, softmax)
+                               mode, softmax, packed)
     return rst, (z, er, w, src, dst, plan_arrays, rst, den, m)
 
 
-def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, res, g):
+def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
+                   res, g):
     z, er, w, src, dst, plan_arrays, rst, den, m = res
     E = src.shape[0]
     H = er.shape[1]
@@ -384,6 +434,12 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, res, g):
     sds = (rst.reshape(N_dst, H, D) * dout.reshape(N_dst, H, D)).sum(-1)
 
     # two fused edge gathers (per-row cost is width-independent)
+    if packed:
+        # the forward consumed bf16-quantized FEATURES (logits stayed
+        # f32): differentiate that function (straight-through)
+        z = jnp.concatenate(
+            [z[:, :HD].astype(jnp.bfloat16).astype(jnp.float32),
+             z[:, HD:]], axis=1)
     zsrc = z[src].astype(jnp.float32)                         # (E, HD+H)
     zdst = jnp.concatenate(
         [dout, er.astype(jnp.float32), m, den, sds], axis=1)[dst]
@@ -427,7 +483,8 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, res, g):
 
 _gat_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)
 
-_gat_fused_jit = jax.jit(_gat_fused, static_argnums=(0, 1, 2, 3, 4, 5))
+_gat_fused_jit = jax.jit(_gat_fused,
+                         static_argnums=(0, 1, 2, 3, 4, 5, 6))
 
 
 def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
@@ -435,7 +492,8 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
                          er: Array, attn_w: Optional[Array] = None,
                          negative_slope: float = 0.2,
                          mode: str = "f32x2",
-                         softmax: str = "shift") -> Array:
+                         softmax: str = "shift",
+                         packed: bool = False) -> Array:
     """Fused GAT edge phase: softmax_dst(leaky_relu(el[u]+er[v])) * Wh[u],
     summed over incoming edges.
 
@@ -448,9 +506,10 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
     z = jnp.concatenate(
         [fsrc.reshape(N_src, H * D).astype(jnp.float32),
          el.astype(jnp.float32)], axis=1)
+    packed = packed and (H * D) % 2 == 0   # feature half-pack needs even HD
     has_w = attn_w is not None
     w = attn_w if has_w else jnp.zeros((0, H), fsrc.dtype)
     rst = _gat_fused_jit(meta_fwd, meta_rev, float(negative_slope), has_w,
-                         mode, softmax, z, er.astype(jnp.float32), w, src,
-                         dst, *plan_arrays)
+                         mode, softmax, packed, z, er.astype(jnp.float32),
+                         w, src, dst, *plan_arrays)
     return rst.astype(fsrc.dtype).reshape(-1, H, D)

@@ -27,6 +27,7 @@ class Config:
     spmm_mode: str = "f32x2"
     disable_pallas: bool = False
     gat_softmax: str = "shift"
+    gat_packed: bool = False
 
 
 def get_config() -> Config:
@@ -39,4 +40,7 @@ def get_config() -> Config:
         spmm_mode=os.environ.get("DGL_TPU_SPMM_MODE", "f32x2"),
         disable_pallas=os.environ.get("DGL_TPU_DISABLE_PALLAS", "0") == "1",
         gat_softmax=os.environ.get("DGL_TPU_GAT_SOFTMAX", "shift"),
+        # bf16-packed z gather in the fused GAT kernel: ~1.45x on the
+        # dominant gather (KERNELS.md width law) at bf16 input precision
+        gat_packed=os.environ.get("DGL_TPU_GAT_PACKED", "0") == "1",
     )

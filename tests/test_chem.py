@@ -156,3 +156,67 @@ def test_weight_and_sum_permutation_invariance():
     perm = rng.permutation(10)
     out_p = m.apply(params, g, x[perm])  # node order within one graph
     assert np.allclose(np.asarray(out), np.asarray(out_p), atol=1e-5)
+
+
+def _geo_graph(rng, n):
+    import dgl_hack_tpu as dgl
+    coords = rng.random((n, 3)) * 6
+    d2 = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+    src, dst = np.nonzero((d2 < 3.0) & (d2 > 0))
+    g = dgl.graph((src.astype(np.int32), dst.astype(np.int32)), num_nodes=n)
+    g.ndata["atomic_number"] = rng.choice(
+        [6.0, 7.0, 8.0], n).astype(np.float32).reshape(-1, 1)
+    g.edata["distance"] = d2[src, dst].astype(np.float32).reshape(-1, 1)
+    return g
+
+
+def test_atomic_conv_types_and_cutoff():
+    from dgl_hack_tpu.nn import AtomicConv
+    rng = np.random.default_rng(3)
+    g = _geo_graph(rng, 10)
+    conv = AtomicConv(interaction_cutoffs=(2.5,), rbf_kernel_means=(0., 2.),
+                      rbf_kernel_scaling=(4.,), features_to_use=(6., 7., 8.))
+    feat = g.ndata["atomic_number"]
+    dist = g.edata_internal["distance"]
+    params = conv.init(jax.random.PRNGKey(0), g, feat, dist)
+    out = conv.apply(params, g, feat, dist)
+    assert out.shape == (10, 2 * 3)       # K=2 filters x T=3 types
+    # edges beyond the cutoff contribute nothing: shrink cutoff -> out
+    # for an isolated-far graph is 0
+    g2 = _geo_graph(rng, 8)
+    far = conv.apply(params, g2, g2.ndata["atomic_number"],
+                     g2.edata_internal["distance"] * 100.0)
+    assert np.allclose(np.asarray(far), 0.0, atol=1e-6)
+    # type pooling: per-type columns only collect same-type neighbors
+    an = np.asarray(g.ndata["atomic_number"]).ravel()
+    col = np.asarray(out).reshape(10, 2, 3)
+    s, d = g.host_edges()
+    for t, z in enumerate([6.0, 7.0, 8.0]):
+        has_nbr = np.zeros(10, bool)
+        for u, v in zip(s, d):
+            if an[u] == z:
+                has_nbr[v] = True
+        assert np.all(np.abs(col[~has_nbr, :, t]) < 1e-6)
+
+
+def test_acnn_end_to_end():
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.models.chem import ACNN
+    rng = np.random.default_rng(0)
+    pairs = []
+    for _ in range(3):
+        lig, prot = _geo_graph(rng, 5), _geo_graph(rng, 12)
+        comp = _geo_graph(rng, 17)
+        mask = np.zeros(17, np.float32)
+        mask[:5] = 1
+        pairs.append((lig, prot, comp, mask))
+    ligs, prots, comps, masks = zip(*pairs)
+    blg, bpr, bcx = (dgl.batch(list(x)) for x in (ligs, prots, comps))
+    bmask = jnp.asarray(np.concatenate(masks))
+    m = ACNN(features_to_use=(6.0, 7.0, 8.0), num_tasks=2)
+    params = m.init(jax.random.PRNGKey(0), blg, bpr, bcx, bmask)
+    out = m.apply(params, blg, bpr, bcx, bmask)
+    assert out.shape == (3, 2) and np.isfinite(np.asarray(out)).all()
+    grads = jax.grad(lambda p: m.apply(p, blg, bpr, bcx, bmask).sum())(params)
+    assert any(float(jnp.abs(l).sum()) > 0
+               for l in jax.tree_util.tree_leaves(grads))

@@ -113,3 +113,16 @@ def test_train_chem_schnet_example(capsys):
                         "--n_mols", "32"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["dataset"] == "alchemy" and res["test_mse"] >= 0
+
+
+def test_train_kg_dist_example(capsys):
+    import json
+    out = _run_example("examples/train_kg_dist.py",
+                       ["--steps", "40", "--scale", "0.02", "--batch",
+                        "128", "--neg", "16", "--chunk", "16",
+                        "--eval_triples", "50"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["num_servers"] == 2 and res["num_clients"] == 2
+    # distributed sparse-Adagrad training actually learns
+    assert res["loss_last10"] < 0.5 * res["loss_first10"]
+    assert res["mrr"] > 0.5

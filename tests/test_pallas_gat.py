@@ -155,3 +155,63 @@ def test_gatconv_fused_matches_unfused(rng):
     out = layer.apply(params, gp, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("flat", [False, True])
+def test_gat_packed_forward(rng, softmax_mode, flat):
+    """bf16-packed z gather: matches the oracle computed on
+    bf16-quantized inputs (the packed path's true function) tightly, and
+    the f32 oracle to bf16 tolerance."""
+    H, D = 4, 16
+    g, gp = _prep(rng, flat=flat)
+    fsrc, el, er = _rand(rng, g, H, D)
+    out = gat_attention_pallas(
+        gp.spmm_plan_meta, gp.spmm_plan_arrays, gp.src, gp.dst, fsrc, el,
+        er, None, 0.2, softmax=softmax_mode, packed=True)
+    # packed layout: bf16 features, EXACT f32 logits
+    fq = fsrc.astype(jnp.bfloat16).astype(jnp.float32)
+    ref_q = _oracle(g, fq, el, er, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_q),
+                               rtol=2e-3, atol=2e-3)
+    ref = _oracle(g, fsrc, el, er, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=1e-2)
+
+
+def test_gat_packed_odd_width(rng, softmax_mode):
+    """HD+H odd exercises the pad column in the packed layout."""
+    H, D = 1, 16                    # width 17: odd
+    g, gp = _prep(rng)
+    fsrc, el, er = _rand(rng, g, H, D)
+    out = gat_attention_pallas(
+        gp.spmm_plan_meta, gp.spmm_plan_arrays, gp.src, gp.dst, fsrc, el,
+        er, None, 0.2, softmax=softmax_mode, packed=True)
+    fq = fsrc.astype(jnp.bfloat16).astype(jnp.float32)
+    ref_q = _oracle(g, fq, el, er, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_q),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gat_packed_grads(rng, softmax_mode):
+    H, D = 4, 16
+    g, gp = _prep(rng)
+    fsrc, el, er = _rand(rng, g, H, D)
+
+    def loss_pallas(f, l, r):
+        out = gat_attention_pallas(
+            gp.spmm_plan_meta, gp.spmm_plan_arrays, gp.src, gp.dst, f, l,
+            r, None, 0.2, softmax=softmax_mode, packed=True)
+        return (out * out).sum()
+
+    def loss_oracle(f, l, r):
+        fq = f.astype(jnp.bfloat16).astype(jnp.float32)
+        out = _oracle(g, fq, l, r, 0.2)
+        return (out * out).sum()
+
+    gp_ = jax.grad(loss_pallas, (0, 1, 2))(fsrc, el, er)
+    go_ = jax.grad(loss_oracle, (0, 1, 2))(fsrc, el, er)
+    for a, b in zip(gp_, go_):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=5e-3, atol=5e-3)
