@@ -241,6 +241,11 @@ def _reduce_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
     lr = lr_ref[jax.lax.rem(b, 8), :]                    # (TE,) int32
     rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
     m = m_ref[:]
+    if m.dtype == jnp.uint32:
+        # packed bf16 tile: values are bf16-exact, so the single bf16
+        # MXU pass below ('fast') loses nothing vs f32x2
+        m = _unpack_tile_bf16(m)
+        mode = "fast"
     if w_kind == "scalar":
         w1 = w_ref[jax.lax.rem(b, 8), :]                 # (TE,) f32
         m = m * jnp.broadcast_to(w1[:, None], m.shape)
@@ -282,6 +287,31 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pack_tiles_bf16(x: Array, ft: int) -> Array:
+    """(N, F) bf16 -> (N, F/2) uint32, packed per ft-wide feature tile:
+    within each tile the first half rides the low 16 bits.  LOSSLESS for
+    bf16 inputs, and the row gather runs at half the lanes (gather cost
+    scales with LANE count — KERNELS.md width law; measured 8.3 vs 16.7
+    ns/row at 528 lanes).  Per-tile packing keeps each feature-grid block
+    self-contained so the kernel unpacks with one concatenate."""
+    N, F = x.shape
+    t = x.reshape(N, F // ft, ft)
+    lo = jax.lax.bitcast_convert_type(t[:, :, :ft // 2], jnp.uint16)
+    hi = jax.lax.bitcast_convert_type(t[:, :, ft // 2:], jnp.uint16)
+    p = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
+    return p.reshape(N, F // 2)
+
+
+def _unpack_tile_bf16(mp: Array) -> Array:
+    """Kernel-side inverse for ONE tile: (T, ft/2) u32 -> (T, ft) f32
+    holding bf16-exact values (two same-width bitcasts; bf16 bits b ==
+    f32 bits b<<16 — Mosaic has no bitwidth-changing bitcast)."""
+    lo = jax.lax.bitcast_convert_type(mp << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(mp & np.uint32(0xFFFF0000),
+                                      jnp.float32)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
 def _pick_ft(F: int) -> int:
     for ft in (512, 256, 128):
         if F % ft == 0:
@@ -292,12 +322,15 @@ def _pick_ft(F: int) -> int:
 def _reduce_call(m: Array, local_row: Array, window: Array,
                  w: Optional[Array] = None, w_kind: str = "none", *,
                  tr: int, te: int, num_windows: int, num_blocks: int,
-                 mode: str = "f32x2") -> Array:
-    F = m.shape[1]
+                 mode: str = "f32x2", out_width: Optional[int] = None
+                 ) -> Array:
+    packed = m.dtype == jnp.uint32
+    F = out_width if packed else m.shape[1]
     ft = _pick_ft(F)
+    m_ft = ft // 2 if packed else ft
     in_specs = [
         pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)),
-        pl.BlockSpec((te, ft), lambda f, b, win: (b, f)),
+        pl.BlockSpec((te, m_ft), lambda f, b, win: (b, f)),
     ]
     operands = [local_row, m]
     if w_kind == "scalar":
@@ -339,6 +372,14 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
     if C == 0:
         return jnp.zeros((num_rows, F), jnp.float32)
     bc = win_s.shape[1]
+    # bf16 features: gather a u32-packed view (HALF the lanes, lossless —
+    # the single bf16 MXU pass the kernel then takes is exact for bf16);
+    # DGL_TPU_SPMM_NO_PACK=1 is the measurement/debug escape hatch
+    import os
+    if node_vals.dtype == jnp.bfloat16 and F % 2 == 0 \
+            and _pick_ft(F) % 2 == 0 \
+            and os.environ.get("DGL_TPU_SPMM_NO_PACK") != "1":
+        node_vals = _pack_tiles_bf16(node_vals, _pick_ft(F))
 
     def edge_weights(perm):
         wv = weights if weights.ndim > 1 else weights[:, None]
@@ -356,7 +397,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         w_in, w_kind = (None, "none") if weights is None \
             else edge_weights(perm)
         out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
-                           num_windows=wc, num_blocks=bc, mode=mode)
+                           num_windows=wc, num_blocks=bc, mode=mode,
+                           out_width=F)
         rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
         out = jnp.where(rowmask[:, None], out, 0.0)
         return out[:num_rows]
@@ -370,7 +412,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         w_in, w_kind = (None, "none") if weights is None \
             else edge_weights(perm)
         out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
-                           num_windows=wc, num_blocks=bc, mode=mode)
+                           num_windows=wc, num_blocks=bc, mode=mode,
+                           out_width=F)
         rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
         out = jnp.where(rowmask[:, None], out, 0.0)
         cur = jax.lax.dynamic_slice(acc, (row0, 0), (out_len, F))

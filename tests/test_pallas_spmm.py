@@ -171,3 +171,54 @@ def test_pallas_end_to_end_training(rng):
                                 ds.train_mask, ds.val_mask, ds.test_mask,
                                 num_epochs=60, lr=1e-2)
     assert res["test_acc"] > 0.75, res
+
+
+@pytest.mark.parametrize("flat", [False, True])
+def test_pallas_bf16_packed_copy_u(rng, flat):
+    """bf16 features auto-pack into u32 lanes (lossless): result equals
+    the f32 segment-sum of the SAME bf16 values."""
+    g, gp = _prep(rng, flat=flat)
+    x16 = jnp.asarray(rng.normal(size=(300, 128))).astype(jnp.bfloat16)
+    ref = dgl.gspmm(g, "copy_lhs", "sum", x16.astype(jnp.float32))
+    out = dgl.gspmm(gp, "copy_lhs", "sum", x16)
+    # the op returns x.dtype (bf16): compare at bf16 resolution
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=5e-3, atol=3e-2)
+
+
+def test_pallas_bf16_packed_u_mul_e(rng):
+    g, gp = _prep(rng)
+    E = g.num_edges()
+    x16 = jnp.asarray(rng.normal(size=(300, 128))).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.random(E, dtype=np.float32))[:, None]
+    ref = dgl.gspmm(g, "mul", "sum", x16.astype(jnp.float32), w, "u", "e")
+    out = dgl.gspmm(gp, "mul", "sum", x16, w, "u", "e")
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=5e-3, atol=3e-2)
+
+
+def test_pallas_bf16_packed_grads(rng):
+    g, gp = _prep(rng)
+    x16 = jnp.asarray(rng.normal(size=(300, 128))).astype(jnp.bfloat16)
+
+    def loss(graph, x):
+        return (dgl.gspmm(graph, "copy_lhs", "sum", x) ** 2).sum()
+
+    gp_ = np.asarray(jax.grad(lambda x: loss(gp, x))(x16),
+                     dtype=np.float32)
+    gr_ = np.asarray(jax.grad(lambda x: loss(g, x))(x16),
+                     dtype=np.float32)
+    # bf16 primal AND bf16 cotangent: rounding compounds — compare
+    # normalized by the gradient scale
+    scale = max(1.0, np.abs(gr_).max())
+    np.testing.assert_allclose(gp_ / scale, gr_ / scale, atol=2e-2)
+
+
+def test_pallas_bf16_odd_width_fallback(rng):
+    """F whose tile width is odd skips packing but still works."""
+    g, gp = _prep(rng)
+    x16 = jnp.asarray(rng.normal(size=(300, 37))).astype(jnp.bfloat16)
+    ref = dgl.gspmm(g, "copy_lhs", "sum", x16.astype(jnp.float32))
+    out = dgl.gspmm(gp, "copy_lhs", "sum", x16)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=5e-3, atol=3e-2)
