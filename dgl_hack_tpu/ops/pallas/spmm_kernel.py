@@ -225,16 +225,10 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-def _reduce_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
-                   mode: str, w_kind: str = "none"):
-    # optional per-edge weight multiplied in VMEM: materialising m*w in
-    # HBM costs a full (slots x F) round-trip, and XLA's broadcast of an
-    # (E,1) weight into the multiply degrades to per-element gathering
-    # (measured 2.7x slower than copy_u at F=512)
-    if w_kind == "none":
-        (out_ref,) = rest
-    else:
-        w_ref, out_ref = rest
+def _block_contrib(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
+                   mode: str, w_kind: str):
+    """Shared block math: one-hot MXU reduce of this block's messages.
+    Returns (contrib (TR, FT) f32, is_first-block-of-window pred)."""
     b = pl.program_id(1)
     # lr block is (8, TE) — 8 consecutive blocks' rows share one fetch
     # (2-D int32 tiling allows TE < 1024, unlike 1-D's forced 1024 tile)
@@ -246,6 +240,10 @@ def _reduce_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
         # MXU pass below ('fast') loses nothing vs f32x2
         m = _unpack_tile_bf16(m)
         mode = "fast"
+    # optional per-edge weight multiplied in VMEM: materialising m*w in
+    # HBM costs a full (slots x F) round-trip, and XLA's broadcast of an
+    # (E,1) weight into the multiply degrades to per-element gathering
+    # (measured 2.7x slower than copy_u at F=512)
     if w_kind == "scalar":
         w1 = w_ref[jax.lax.rem(b, 8), :]                 # (TE,) f32
         m = m * jnp.broadcast_to(w1[:, None], m.shape)
@@ -272,10 +270,49 @@ def _reduce_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
 
     prev = window_ref[jnp.maximum(b - 1, 0)]
     is_first = jnp.logical_or(b == 0, window_ref[b] != prev)
+    return contrib, is_first
+
+
+def _reduce_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
+                   mode: str, w_kind: str = "none"):
+    if w_kind == "none":
+        (out_ref,) = rest
+        w_ref = None
+    else:
+        w_ref, out_ref = rest
+    contrib, is_first = _block_contrib(window_ref, lr_ref, m_ref, w_ref,
+                                       tr=tr, te=te, mode=mode,
+                                       w_kind=w_kind)
 
     @pl.when(is_first)
     def _():
         out_ref[:] = contrib.astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = out_ref[:] + contrib.astype(out_ref.dtype)
+
+
+def _reduce_kernel_acc(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
+                       mode: str, w_kind: str = "none"):
+    """Accumulating variant: the running accumulator rides in as an
+    ALIASED input block with the same index_map as the output, so chunked
+    plans add in place — no XLA-side dynamic-slice/update overlap-add
+    (that glue measured ~as costly as the gather itself; at wide F the
+    old scan path ran at ~156 ns/edge).  First block of a window in this
+    chunk seeds out = acc + contrib; revisits accumulate in VMEM."""
+    if w_kind == "none":
+        acc_ref, out_ref = rest
+        w_ref = None
+    else:
+        w_ref, acc_ref, out_ref = rest
+    contrib, is_first = _block_contrib(window_ref, lr_ref, m_ref, w_ref,
+                                       tr=tr, te=te, mode=mode,
+                                       w_kind=w_kind)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = acc_ref[:] + contrib.astype(out_ref.dtype)
 
     @pl.when(jnp.logical_not(is_first))
     def _():
@@ -356,6 +393,54 @@ def _reduce_call(m: Array, local_row: Array, window: Array,
     )(window, *operands)
 
 
+def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
+                     window_abs: Array, w: Optional[Array] = None,
+                     w_kind: str = "none", *, tr: int, te: int,
+                     num_blocks: int, mode: str = "f32x2",
+                     out_width: Optional[int] = None) -> Array:
+    """One chunk's blocks accumulated IN PLACE into the full-size
+    ``acc`` (absolute window ids): the accumulator is an aliased input
+    whose blocks ride the same index_map as the output, so only the
+    windows this chunk touches move through VMEM — the old XLA
+    overlap-add (dynamic_slice + add + dynamic_update_slice of the whole
+    padded output per chunk) is gone."""
+    packed = m.dtype == jnp.uint32
+    F = out_width if packed else m.shape[1]
+    ft = _pick_ft(F)
+    m_ft = ft // 2 if packed else ft
+    in_specs = [
+        pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)),
+        pl.BlockSpec((te, m_ft), lambda f, b, win: (b, f)),
+    ]
+    operands = [local_row, m]
+    if w_kind == "scalar":
+        in_specs.append(pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)))
+        operands.append(w)
+    elif w_kind == "full":
+        in_specs.append(pl.BlockSpec((te, ft), lambda f, b, win: (b, f)))
+        operands.append(w)
+    in_specs.append(pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)))
+    operands.append(acc)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(max(1, F // ft), num_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)),
+    )
+    # alias indices count the scalar-prefetch operand (window_abs at 0)
+    acc_idx = 1 + len(operands)   # prefetch + operands, acc is last
+    return pl.pallas_call(
+        functools.partial(_reduce_kernel_acc, tr=tr, te=te, mode=mode,
+                          w_kind=w_kind),
+        grid_spec=grid,
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.float32),
+        input_output_aliases={acc_idx - 1: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(window_abs, *operands)
+
+
 # ---------------------------------------------------------------------------
 # direction driver: scan uniform chunks, overlap-add into the output
 # ---------------------------------------------------------------------------
@@ -403,21 +488,21 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         out = jnp.where(rowmask[:, None], out, 0.0)
         return out[:num_rows]
 
-    pad_rows = ((num_rows + tr - 1) // tr) * tr + out_len
-    init = jnp.zeros((pad_rows, F), jnp.float32)
+    # chunked path: in-kernel accumulation into ONE full-size buffer via
+    # an aliased accumulator input at ABSOLUTE window ids — no XLA
+    # overlap-add glue (measured ~as costly as the gather itself)
+    pad_rows = ((num_rows + tr - 1) // tr) * tr
+    init = jnp.zeros((max(pad_rows, tr), F), jnp.float32)
 
     def body(acc, xs):
         gidx, perm, lr, win, row0, cover = xs
         m = node_vals[gidx]
         w_in, w_kind = (None, "none") if weights is None \
             else edge_weights(perm)
-        out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
-                           num_windows=wc, num_blocks=bc, mode=mode,
-                           out_width=F)
-        rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
-        out = jnp.where(rowmask[:, None], out, 0.0)
-        cur = jax.lax.dynamic_slice(acc, (row0, 0), (out_len, F))
-        acc = jax.lax.dynamic_update_slice(acc, cur + out, (row0, 0))
+        win_abs = win + row0 // tr      # chunk-rebased -> absolute
+        acc = _reduce_call_acc(acc, m, lr, win_abs, w_in, w_kind, tr=tr,
+                               te=te, num_blocks=bc, mode=mode,
+                               out_width=F)
         return acc, None
 
     if C == 1:
@@ -758,8 +843,14 @@ def _check_dense_exact(g, dense_wins: np.ndarray, tr: int) -> np.ndarray:
     return np.asarray(keep, dtype=np.int64)
 
 
+# per-chunk gathered-message budget for auto bc: larger chunks amortise
+# per-chunk dispatch/pipeline overhead (measured 2277 -> 927 ms at
+# F=512/E=16M going from ~170 to 33 chunks) while bounding HBM
+MSG_CHUNK_BYTES = 512 << 20
+
+
 def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
-                 bc: int = DEFAULT_BC, wc: int = DEFAULT_WC, *,
+                 bc: Optional[int] = None, wc: Optional[int] = None, *,
                  weighted: bool = True, dense_hub: bool = True,
                  dense_threshold: Optional[int] = None,
                  dense_budget: int = 3 << 30, flat="auto",
@@ -780,6 +871,14 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
     composed XLA path at dispatch (see flat_plans_fit)."""
     if g.csr_indptr is None or g.csr_eids is None:
         raise ValueError("prepare_spmm requires the graph's CSR format")
+    if bc is None:
+        # width-aware chunk size: the in-kernel-accumulating chunked path
+        # has no window-span constraint, so chunks are bounded only by
+        # the gathered-message buffer
+        bc = max(8, (MSG_CHUNK_BYTES // (te * max(flat_width, 1) * 4))
+                 // 8 * 8)
+    if wc is None:
+        wc = max(1, -(-g.num_dst_nodes // tr))   # unbounded window span
     fms = max(te, FLAT_MAX_BYTES // (max(flat_width, 1) * 4))
     out = g
     if weighted:
