@@ -127,11 +127,16 @@ def _unpack_z(zp: Array, HD: int, H: int):
 
 
 def _gat_kernel(window_ref, lr_ref, z_ref, er_ref, *rest, tr: int, te: int,
-                H: int, D: int, slope: float, mode: str, has_w: bool):
-    if has_w:
-        w_ref, out_ref, m_scr = rest
-    else:
-        out_ref, m_scr = rest
+                H: int, D: int, slope: float, mode: str, has_w: bool,
+                has_acc: bool = False):
+    # has_acc: chunked plans pass the running (num||den||m) accumulator
+    # as an ALIASED input at absolute windows; the first block of a
+    # window in this chunk merges with it by the online-softmax combine
+    # — the XLA-side chunk merge (dynamic slices + rescales) disappears
+    rest = list(rest)
+    w_ref = rest.pop(0) if has_w else None
+    acc_ref = rest.pop(0) if has_acc else None
+    out_ref, m_scr = rest
     HD = H * D
     b = pl.program_id(0)
     lr = lr_ref[jax.lax.rem(b, 8), :]                       # (TE,)
@@ -159,8 +164,13 @@ def _gat_kernel(window_ref, lr_ref, z_ref, er_ref, *rest, tr: int, te: int,
 
     prev = window_ref[jnp.maximum(b - 1, 0)]
     is_first = jnp.logical_or(b == 0, window_ref[b] != prev)
-    m_old = m_scr[:]                                         # garbage if first
-    new_m = jnp.where(is_first, bm, jnp.maximum(m_old, bm))
+    if has_acc:
+        # prior chunks' running max participates from the start
+        m_old = jnp.where(is_first, acc_ref[:, HD + H:], m_scr[:])
+        new_m = jnp.maximum(m_old, bm)
+    else:
+        m_old = m_scr[:]                                     # garbage if first
+        new_m = jnp.where(is_first, bm, jnp.maximum(m_old, bm))
     m_scr[:] = new_m
 
     nm_e = _mxu_sel(St, new_m, mode)                         # (TE, H)
@@ -177,24 +187,29 @@ def _gat_kernel(window_ref, lr_ref, z_ref, er_ref, *rest, tr: int, te: int,
     num_c = _mxu_sel(S, wz, mode)                            # (TR, HD)
     den_c = _mxu_sel(S, p, mode)                             # (TR, H)
 
-    @pl.when(is_first)
-    def _():
-        out_ref[:] = jnp.concatenate([num_c, den_c, new_m], axis=1)
-
-    @pl.when(jnp.logical_not(is_first))
-    def _():
+    def _merge(cur):
         scale = jnp.exp(m_old - new_m)                       # (TR, H)
         scale_exp = _mxu_sel_t(scale, R, mode)               # (TR, HD)
-        cur = out_ref[:]
-        out_ref[:] = jnp.concatenate(
+        return jnp.concatenate(
             [cur[:, :HD] * scale_exp + num_c,
              cur[:, HD:HD + H] * scale + den_c,
              new_m], axis=1)
 
+    @pl.when(is_first)
+    def _():
+        if has_acc:
+            out_ref[:] = _merge(acc_ref[:])
+        else:
+            out_ref[:] = jnp.concatenate([num_c, den_c, new_m], axis=1)
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = _merge(out_ref[:])
+
 
 def _gat_kernel_shift(window_ref, lr_ref, z_ref, ec_ref, *rest, tr: int,
                       te: int, H: int, D: int, slope: float, mode: str,
-                      has_w: bool):
+                      has_w: bool, has_acc: bool = False):
     """Shift-mode variant: subtract the precomputed dense upper bound
     c[v] = leaky(max(el) + er[v]) instead of the online max.  Softmax is
     shift-invariant, so the result is exact (bar exp underflow for
@@ -202,10 +217,10 @@ def _gat_kernel_shift(window_ref, lr_ref, z_ref, ec_ref, *rest, tr: int,
     accumulation like the spmm kernel.  This matches the reference
     fork's fused GAT, which subtracts no max at all (reference:
     src/kernel/cuda/binary_reduce_impl.cu:52)."""
-    if has_w:
-        w_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+    rest = list(rest)
+    w_ref = rest.pop(0) if has_w else None
+    acc_ref = rest.pop(0) if has_acc else None
+    (out_ref,) = rest
     HD = H * D
     b = pl.program_id(0)
     lr = lr_ref[jax.lax.rem(b, 8), :]                       # (TE,)
@@ -241,7 +256,7 @@ def _gat_kernel_shift(window_ref, lr_ref, z_ref, ec_ref, *rest, tr: int,
 
     @pl.when(is_first)
     def _():
-        out_ref[:] = contrib
+        out_ref[:] = (acc_ref[:] + contrib) if has_acc else contrib
 
     @pl.when(jnp.logical_not(is_first))
     def _():
@@ -251,7 +266,11 @@ def _gat_kernel_shift(window_ref, lr_ref, z_ref, ec_ref, *rest, tr: int,
 def _gat_chunk_call(win: Array, lr: Array, z_g: Array, er_chunk: Array,
                     w_g: Optional[Array], *, tr: int, te: int, bc: int,
                     wc: int, H: int, D: int, slope: float, mode: str,
-                    softmax: str) -> Array:
+                    softmax: str, acc: Optional[Array] = None) -> Array:
+    """acc != None: chunked mode — the full-size accumulator is an
+    aliased input and ``win`` carries ABSOLUTE window ids; the kernel
+    merges per window (online-softmax combine in 'exact', plain add in
+    'shift'), replacing the old XLA overlap-add scan glue."""
     width_in = z_g.shape[1]
     er_w = er_chunk.shape[1]                 # H (exact) or 2H ([er||c])
     out_w = H * D + (2 * H if softmax == "exact" else H)
@@ -265,6 +284,15 @@ def _gat_chunk_call(win: Array, lr: Array, z_g: Array, er_chunk: Array,
     if has_w:
         in_specs.append(pl.BlockSpec((te, H), lambda b, w: (b, 0)))
         operands.append(w_g)
+    aliases = {}
+    if acc is not None:
+        in_specs.append(pl.BlockSpec((tr, out_w), lambda b, w: (w[b], 0)))
+        operands.append(acc)
+        # alias indices count the scalar-prefetch operand (win at 0)
+        aliases = {len(operands): 0}
+        out_shape = jax.ShapeDtypeStruct(acc.shape, jnp.float32)
+    else:
+        out_shape = jax.ShapeDtypeStruct((wc * tr, out_w), jnp.float32)
     kern = _gat_kernel if softmax == "exact" else _gat_kernel_shift
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -276,9 +304,10 @@ def _gat_chunk_call(win: Array, lr: Array, z_g: Array, er_chunk: Array,
     )
     return pl.pallas_call(
         functools.partial(kern, tr=tr, te=te, H=H, D=D, slope=slope,
-                          mode=mode, has_w=has_w),
+                          mode=mode, has_w=has_w, has_acc=acc is not None),
         grid_spec=grid,
-        out_shape=jax.ShapeDtypeStruct((wc * tr, out_w), jnp.float32),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
@@ -301,7 +330,7 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     exact = softmax == "exact"
     out_w = HD + (2 * H if exact else H)
     out_len = wc * tr
-    pad_rows = ((num_rows + tr - 1) // tr) * tr + out_len
+    pad_rows = max(((num_rows + tr - 1) // tr) * tr, tr)
     erf = er.astype(jnp.float32)
     if packed:
         # ~half the gather lanes (KERNELS.md width law): bf16 features,
@@ -329,8 +358,8 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     else:
         init = jnp.zeros((pad_rows, out_w), jnp.float32)
         er_in = jnp.concatenate([erf, c], axis=1)
-    er_pad = jnp.zeros((pad_rows, er_in.shape[1]), jnp.float32
-                       ).at[:er.shape[0]].set(er_in)
+    er_pad = jnp.zeros((max(pad_rows, out_len), er_in.shape[1]),
+                       jnp.float32).at[:er.shape[0]].set(er_in)
 
     if flat and C == 1:
         # scan-free single-kernel path (flat plan: absolute windows,
@@ -359,33 +388,23 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
                                total_repeat_length=HD)
         return rst, den, shift
 
+    # chunked path: in-kernel merge into the full-size aliased
+    # accumulator at ABSOLUTE windows (online-softmax combine in 'exact',
+    # plain add in 'shift') — no XLA overlap-add glue
+    er_full = er_pad[:pad_rows]
+
     def body(acc, xs):
         gidx, perm, lr, win, row0, cover = xs
         zg = ztab[gidx]
-        er_chunk = jax.lax.dynamic_slice(
-            er_pad, (row0, 0), (out_len, er_pad.shape[1]))
         wg = None
         if w is not None:
             wg = (w[jnp.minimum(perm, E - 1)].astype(jnp.float32)
                   * (perm < E)[:, None])
-        out = _gat_chunk_call(win, lr, zg, er_chunk, wg, tr=tr, te=te,
+        win_abs = win + row0 // tr
+        acc = _gat_chunk_call(win_abs, lr, zg, er_full, wg, tr=tr, te=te,
                               bc=bc, wc=wc, H=H, D=D, slope=slope,
-                              mode=mode, softmax=softmax)
-        rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)[:, None]
-        cur = jax.lax.dynamic_slice(acc, (row0, 0), (out_len, out_w))
-        if exact:
-            cn, cd, cm = cur[:, :HD], cur[:, HD:HD + H], cur[:, HD + H:]
-            on_, od, om = out[:, :HD], out[:, HD:HD + H], out[:, HD + H:]
-            M = jnp.maximum(cm, om)
-            s1, s2 = jnp.exp(cm - M), jnp.exp(om - M)
-            new = jnp.concatenate(
-                [cn * jnp.repeat(s1, D, axis=1, total_repeat_length=HD)
-                 + on_ * jnp.repeat(s2, D, axis=1, total_repeat_length=HD),
-                 cd * s1 + od * s2, M], axis=1)
-            new = jnp.where(rowmask, new, cur)
-        else:
-            new = cur + jnp.where(rowmask, out, 0.0)
-        return jax.lax.dynamic_update_slice(acc, new, (row0, 0)), None
+                              mode=mode, softmax=softmax, acc=acc)
+        return acc, None
 
     if C == 1:
         acc, _ = body(init, tuple(a[0] for a in plan_arrays))
