@@ -37,7 +37,10 @@ def main():
     # One-time preprocessing (not timed), the analogue of the reference's
     # lazy CSR materialisation: hub dst-windows become dense bf16 count
     # matrices (HYB-style), the tail gets the sparse Pallas block plan.
-    g = dgl.prepare_spmm(g, te=256, weighted=False)
+    # te=64 measured optimal for the remainder plan on this graph: the
+    # power-law tail pads badly at large blocks (KERNELS.md te sweep:
+    # te=64 -> 685 M edges/s vs te=256 -> 563)
+    g = dgl.prepare_spmm(g, te=64, weighted=False)
     x = jnp.asarray(np.random.default_rng(0)
                     .normal(size=(N, F)).astype(np.float32))
 
