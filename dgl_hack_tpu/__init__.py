@@ -11,6 +11,7 @@ from .core.graph import (  # noqa: F401
 )
 from .core.heterograph import (  # noqa: F401
     HeteroGraph, heterograph, bipartite, to_homogeneous, to_heterogeneous,
+    hetero_from_relations, metapath_reachable_graph,
 )
 from .core import message as _message  # attaches Graph methods  # noqa: F401
 from .core.message import (  # noqa: F401
@@ -23,7 +24,8 @@ from .core.transform import (  # noqa: F401
     khop_graph, line_graph, to_bidirected, add_self_loop, remove_self_loop,
     to_simple, remove_edges, node_subgraph, edge_subgraph, in_subgraph,
     out_subgraph, compact_graphs, to_block, knn_graph, reorder_graph,
-    add_edges, add_nodes, laplacian_lambda_max,
+    add_edges, add_nodes, laplacian_lambda_max, khop_adj,
+    segmented_knn_graph,
 )
 from .core import traversal, propagate  # noqa: F401
 from .ops.spmm import gspmm  # noqa: F401
@@ -45,7 +47,9 @@ __all__ = [
     "Graph", "graph", "block", "from_scipy", "reverse", "from_networkx",
     "to_networkx",
     "HeteroGraph", "heterograph", "bipartite", "to_homogeneous",
-    "to_heterogeneous", "laplacian_lambda_max",
+    "to_heterogeneous", "laplacian_lambda_max", "khop_adj",
+    "segmented_knn_graph", "hetero_from_relations",
+    "metapath_reachable_graph",
     "update_all", "apply_edges", "apply_nodes", "send_and_recv", "pull",
     "push", "batch", "unbatch", "batch_hetero", "unbatch_hetero",
     "gspmm", "gsddmm", "edge_softmax",

@@ -386,3 +386,46 @@ def to_homogeneous(hg: HeteroGraph) -> Tuple[Graph, Dict[str, Any]]:
             "edge_types": np.concatenate(etys) if etys else np.zeros(0, np.int32),
             "ntypes": ntypes, "etypes": hg.canonical_etypes}
     return g, info
+
+
+def hetero_from_relations(rel_graphs: Sequence[HeteroGraph]) -> HeteroGraph:
+    """Union single-relation heterographs into one (reference:
+    dgl.hetero_from_relations, python/dgl/convert.py)."""
+    rels: Dict[CanonicalEtype, Graph] = {}
+    num_nodes: Dict[str, int] = {}
+    frames: Dict[str, Dict[str, Array]] = {}
+    for rg in rel_graphs:
+        for cet in rg.canonical_etypes:
+            rels[cet] = rg.relations[cet]
+        for nt in rg.ntypes:
+            num_nodes[nt] = max(num_nodes.get(nt, 0), rg.num_nodes(nt))
+            for key in rg.nodes_data(nt):
+                frames.setdefault(nt, {})[key] = rg.nodes_data(nt)[key]
+    hg = HeteroGraph(rels, num_nodes)
+    for nt, fr in frames.items():
+        for key, val in fr.items():
+            hg.nodes_data(nt)[key] = val
+    return hg
+
+
+def metapath_reachable_graph(hg: HeteroGraph,
+                             metapath: Sequence[Any]) -> Graph:
+    """Reachability graph over a metapath: an edge (u, v) iff v is
+    reachable from u through the relation chain (reference:
+    dgl.transform.metapath_reachable_graph).  Host-side boolean sparse
+    products."""
+    import scipy.sparse as sp
+    mats = []
+    for et in metapath:
+        rel = hg.relations[hg.to_canonical_etype(et)]
+        s, d = rel.host_edges()
+        mats.append(sp.coo_matrix(
+            (np.ones(len(s), bool), (s, d)),
+            shape=(rel.num_src_nodes, rel.num_dst_nodes)).tocsr())
+    acc = mats[0]
+    for m in mats[1:]:
+        acc = (acc @ m).astype(bool)
+    coo = acc.tocoo()
+    return _build(coo.row.astype(np.int32), coo.col.astype(np.int32),
+                  acc.shape[0], acc.shape[1],
+                  is_block=acc.shape[0] != acc.shape[1])

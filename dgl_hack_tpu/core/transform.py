@@ -18,7 +18,8 @@ from .graph import Graph, _build
 __all__ = ["khop_graph", "line_graph", "to_bidirected", "add_self_loop",
            "remove_self_loop", "to_simple", "remove_edges", "node_subgraph",
            "edge_subgraph", "in_subgraph", "out_subgraph", "compact_graphs",
-           "to_block", "knn_graph", "laplacian_lambda_max"]
+           "to_block", "knn_graph", "laplacian_lambda_max", "khop_adj",
+           "segmented_knn_graph"]
 
 
 def _edges_np(g: Graph) -> Tuple[np.ndarray, np.ndarray]:
@@ -340,3 +341,28 @@ def add_nodes(g: Graph, num: int) -> Graph:
     s, d = _edges_np(g)
     n = g.num_nodes() + int(num)
     return _build(s, d, n, n, is_block=False)
+
+
+def khop_adj(g: Graph, k: int) -> np.ndarray:
+    """Dense k-hop adjacency A^k with A[dst, src] multiplicity semantics
+    (reference: transform.py khop_adj — returns a dense tensor)."""
+    a = _adj(g).T.astype(np.float64)     # A[v, u]: u -> v
+    out = np.linalg.matrix_power(a.toarray(), k)
+    return out.astype(np.float32)
+
+
+def segmented_knn_graph(x, k: int, segs) -> Graph:
+    """kNN graph per point segment, one unioned graph (reference:
+    transform.py segmented_knn_graph)."""
+    x = np.asarray(x)
+    offs = np.concatenate([[0], np.cumsum(segs)]).astype(np.int64)
+    srcs, dsts = [], []
+    for i in range(len(segs)):
+        xi = x[offs[i]:offs[i + 1]]
+        d2 = ((xi[:, None] - xi[None]) ** 2).sum(-1)
+        nbr = np.argsort(d2, axis=1)[:, :k]
+        dsts.append(np.repeat(np.arange(len(xi)), k) + offs[i])
+        srcs.append(nbr.reshape(-1) + offs[i])
+    return _build(np.concatenate(srcs).astype(np.int32),
+                  np.concatenate(dsts).astype(np.int32),
+                  int(offs[-1]), int(offs[-1]), is_block=False)

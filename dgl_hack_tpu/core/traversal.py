@@ -120,3 +120,49 @@ def dfs_edges_generator(g: Graph, source, reverse: bool = False
                              else int2user[pos])
                 stack.append((int(u), 0))
     return [np.asarray([e], np.int32) for e in order]
+
+
+def dfs_labeled_edges_generator(g: Graph, source, reverse: bool = False,
+                                has_reverse_edge: bool = False,
+                                has_nontree_edge: bool = False):
+    """DFS with edge labels (reference: traversal.py
+    dfs_labeled_edges_generator): yields (edge_frontiers, label_frontiers)
+    with labels 0=forward (tree), 1=reverse (pop back along a tree edge),
+    2=nontree.  Host-side generator like the other traversals."""
+    FORWARD, REVERSE, NONTREE = 0, 1, 2
+    indptr, nbr = _csr(g) if not reverse else (
+        np.asarray(g.csc_indptr), np.asarray(g.src))
+    eids_by = np.asarray(g.csr_eids) if not reverse else \
+        np.arange(g.num_edges())
+    int2user = (np.asarray(g.int2user) if g.int2user is not None
+                else np.arange(g.num_edges()))
+    visited = np.zeros(g.num_nodes(), bool)
+    edges, labels = [], []
+    for s0 in np.atleast_1d(np.asarray(source, np.int64)):
+        if visited[s0]:
+            continue
+        visited[s0] = True
+        # stack entries: (node, next-nbr index, incoming tree edge id)
+        stack = [(int(s0), 0, -1)]
+        while stack:
+            v, i, in_eid = stack.pop()
+            if i >= indptr[v + 1] - indptr[v]:
+                # subtree finished: backtrack over the incoming edge
+                if has_reverse_edge and in_eid >= 0:
+                    edges.append(in_eid)
+                    labels.append(REVERSE)
+                continue
+            pos = indptr[v] + i
+            u = int(nbr[pos])
+            eid = int(int2user[eids_by[pos]])
+            stack.append((v, i + 1, in_eid))
+            if not visited[u]:
+                visited[u] = True
+                edges.append(eid)
+                labels.append(FORWARD)
+                stack.append((u, 0, eid))
+            elif has_nontree_edge:
+                edges.append(eid)
+                labels.append(NONTREE)
+    return ([np.asarray([e], np.int64) for e in edges],
+            [np.asarray([l], np.int64) for l in labels])

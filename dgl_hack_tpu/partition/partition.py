@@ -190,3 +190,17 @@ def load_partition(path_prefix: str, part_id: int) -> Partition:
                  int(z["num_nodes"]), is_block=False)
     return Partition(gph, z["node_map"], z["edge_map"], z["inner_node"],
                      z["inner_edge"], part_id)
+
+
+def metis_partition(g, k: int, extra_cached_hops: int = 0, seed: int = 0):
+    """dgl.transform.metis_partition-compatible entry (reference:
+    python/dgl/transform.py:589 -> src/graph/metis_partition.cc): returns
+    {part_id: part Graph} with 'inner_node'/'inner_edge' masks and
+    original ids, using the native Fennel streaming partitioner in
+    METIS's role (libmetis is not vendored; Fennel minimizes the same
+    edge-cut objective one node at a time and scales to 1M+ nodes).
+    ``extra_cached_hops`` = halo depth, as in partition_graph_with_halo.
+    """
+    parts_assign = partition(g, k, method="fennel", seed=seed)
+    return partition_graph_with_halo(g, parts_assign,
+                                     num_hops=extra_cached_hops)

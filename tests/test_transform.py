@@ -200,3 +200,75 @@ def test_to_heterogeneous_features():
     s, d = (np.asarray(x)
             for x in hg.relations[("a", "e1", "b")].edges(order="eid"))
     assert sorted(zip(s.tolist(), d.tolist())) == [(0, 1), (1, 0)]
+
+
+def test_khop_adj(g):
+    a1 = dgl.khop_adj(g, 1)
+    s, d = (np.asarray(x) for x in g.edges(order="eid"))
+    dense = np.zeros((5, 5), np.float32)
+    for u, v in zip(s, d):
+        dense[v, u] += 1
+    assert np.allclose(a1, dense)
+    assert np.allclose(dgl.khop_adj(g, 2), dense @ dense)
+
+
+def test_segmented_knn_graph():
+    rng = np.random.default_rng(0)
+    x = rng.random((12, 3))
+    g = dgl.segmented_knn_graph(x, k=2, segs=[5, 7])
+    s, d = (np.asarray(v) for v in g.edges(order="eid"))
+    # no edges cross the segment boundary
+    assert np.all((s < 5) == (d < 5))
+    assert g.num_edges() == 12 * 2
+
+
+def test_hetero_from_relations():
+    r1 = dgl.bipartite(([0, 1], [1, 2]), "user", "follows", "user")
+    r2 = dgl.bipartite(([0, 2], [0, 1]), "user", "plays", "game")
+    hg = dgl.hetero_from_relations([r1, r2])
+    assert set(hg.etypes) == {"follows", "plays"}
+    assert hg.num_nodes("user") == 3 and hg.num_nodes("game") == 2
+
+
+def test_metapath_reachable_graph():
+    hg = dgl.heterograph({
+        ("user", "plays", "game"): ([0, 1, 2], [0, 0, 1]),
+        ("game", "played_by", "user"): ([0, 0, 1], [0, 1, 2]),
+    })
+    g = dgl.metapath_reachable_graph(hg, ["plays", "played_by"])
+    s, d = (np.asarray(x) for x in g.edges(order="eid"))
+    pairs = set(zip(s.tolist(), d.tolist()))
+    # users 0,1 share game 0; user 2 only reaches itself via game 1
+    assert (0, 1) in pairs and (1, 0) in pairs and (2, 2) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_dfs_labeled_edges():
+    from dgl_hack_tpu.core.traversal import dfs_labeled_edges_generator
+    g2 = dgl.graph(([0, 1, 0, 2], [1, 2, 2, 0]), num_nodes=3)
+    edges, labels = dfs_labeled_edges_generator(
+        g2, 0, has_reverse_edge=True, has_nontree_edge=True)
+    e = [int(x[0]) for x in edges]
+    l = [int(x[0]) for x in labels]
+    # forward count equals tree size - 1 = 2; each forward has a reverse
+    assert l.count(0) == 2 and l.count(1) == 2
+    assert l.count(2) >= 1          # the cycle closes via a nontree edge
+    # each REVERSE re-emits a previously-forwarded tree edge, after it
+    fwd_pos = {eid: i for i, (eid, lab) in enumerate(zip(e, l)) if lab == 0}
+    for i, (eid, lab) in enumerate(zip(e, l)):
+        if lab == 1:
+            assert eid in fwd_pos and i > fwd_pos[eid]
+
+
+def test_metis_partition_api():
+    from dgl_hack_tpu.partition import metis_partition
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 60, 400).astype(np.int32)
+    dst = rng.integers(0, 60, 400).astype(np.int32)
+    g2 = dgl.graph((np.concatenate([src, dst]), np.concatenate([dst, src])),
+                   num_nodes=60)
+    parts = metis_partition(g2, 4, extra_cached_hops=1)
+    assert len(parts) == 4
+    covered = np.concatenate(
+        [np.asarray(p.node_map)[np.asarray(p.inner_node)] for p in parts])
+    assert sorted(covered.tolist()) == list(range(60))
