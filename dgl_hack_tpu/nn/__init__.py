@@ -15,3 +15,4 @@ from .conv_extra import (  # noqa: F401
 )
 from .hetero import HeteroGraphConv  # noqa: F401
 from ..ops.edge_softmax import edge_softmax  # noqa: F401
+from .utils import Sequential, WeightBasis, Identity  # noqa: F401

@@ -9,3 +9,5 @@ from .randomwalk import (  # noqa: F401
 from .negative import (  # noqa: F401
     uniform_negative_edges, ChunkedNegativeSampler,
 )
+from .randomwalk import metapath_random_walk, pack_traces  # noqa: F401
+from .pinsage import RandomWalkNeighborSampler, PinSAGESampler  # noqa: F401

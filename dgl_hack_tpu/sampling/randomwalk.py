@@ -141,3 +141,65 @@ def random_walk_with_restart(g: Graph, nodes: Sequence[int],
         out.append(np.fromiter(visited.keys(), dtype=np.int32,
                                count=len(visited)))
     return out
+
+
+def metapath_random_walk(hg, metapath, nodes,
+                         restart_prob: float = 0.0,
+                         rng: Optional[np.random.Generator] = None):
+    """Random walks following a metapath over a heterograph
+    (reference: python/dgl/sampling/randomwalks.py random_walk with
+    metapath=, backed by metapath_randomwalk.h).
+
+    Returns (traces (len(nodes), len(metapath)+1) int64 with -1 padding
+    after dead ends, node_types (len(metapath)+1,) int64 into hg.ntypes).
+    """
+    rng = rng or np.random.default_rng()
+    cets = [hg.to_canonical_etype(et) for et in metapath]
+    ntypes = list(hg.ntypes)
+    types = [ntypes.index(cets[0][0])] + \
+        [ntypes.index(c[2]) for c in cets]
+    csrs = []
+    for c in cets:
+        rel = hg.relations[c]
+        s, d = rel.host_edges()
+        order = np.argsort(s, kind="stable")
+        indptr = np.zeros(rel.num_src_nodes + 1, np.int64)
+        np.cumsum(np.bincount(s, minlength=rel.num_src_nodes),
+                  out=indptr[1:])
+        csrs.append((indptr, d[order]))
+    nodes = np.asarray(nodes, np.int64)
+    traces = np.full((len(nodes), len(cets) + 1), -1, np.int64)
+    traces[:, 0] = nodes
+    for i, start in enumerate(nodes):
+        cur = int(start)
+        for step, (indptr, dsts) in enumerate(csrs):
+            if restart_prob > 0 and step > 0 and rng.random() < restart_prob:
+                break
+            lo, hi = indptr[cur], indptr[cur + 1]
+            if hi == lo:
+                break
+            cur = int(dsts[lo + rng.integers(0, hi - lo)])
+            traces[i, step + 1] = cur
+    return traces, np.asarray(types, np.int64)
+
+
+def pack_traces(traces, types):
+    """Concatenate traces dropping the -1 padding (reference:
+    python/dgl/sampling/randomwalks.py pack_traces:160).
+
+    Returns (concat_vids, concat_types, lengths, offsets)."""
+    traces = np.asarray(traces)
+    types = np.asarray(types)
+    vids, tys, lengths, offsets = [], [], [], []
+    off = 0
+    for row in traces:
+        keep = row >= 0
+        n = int(keep.sum())
+        vids.append(row[keep])
+        tys.append(types[keep])
+        lengths.append(n)
+        offsets.append(off)
+        off += n
+    return (np.concatenate(vids) if vids else np.zeros(0, np.int64),
+            np.concatenate(tys) if tys else np.zeros(0, np.int64),
+            np.asarray(lengths, np.int64), np.asarray(offsets, np.int64))

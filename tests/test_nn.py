@@ -187,3 +187,33 @@ def test_knn_factory(rng):
     x = rng.normal(size=(30, 3)).astype(np.float32)
     kg = gnn.KNNGraph(k=5)(x)
     np.testing.assert_array_equal(np.asarray(kg.in_degrees()), 5)
+
+
+def test_nn_sequential_and_weight_basis(rng):
+    import jax
+    import jax.numpy as jnp
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu import nn as gnn
+
+    g = dgl.graph((rng.integers(0, 10, 30), rng.integers(0, 10, 30)),
+                  num_nodes=10)
+    model = gnn.Sequential((gnn.GraphConv(8), gnn.GraphConv(4)))
+    x = jnp.asarray(rng.normal(size=(10, 6)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), g, x)
+    out = model.apply(params, g, x)
+    assert out.shape == (10, 4)
+    # per-graph mode: one module per graph
+    out2 = model.apply(params, [g, g], x)
+    assert out2.shape == (10, 4)
+
+    wb = gnn.WeightBasis((3, 5), num_bases=2, num_outputs=7)
+    p = wb.init(jax.random.PRNGKey(0))
+    w = wb.apply(p)
+    assert w.shape == (7, 3, 5)
+    # rank constraint: outputs live in a 2-dim basis span
+    flat = np.asarray(w).reshape(7, -1)
+    assert np.linalg.matrix_rank(flat, tol=1e-4) <= 2
+
+    ident = gnn.Identity()
+    pi = ident.init(jax.random.PRNGKey(0), x)
+    assert np.allclose(np.asarray(ident.apply(pi, x)), np.asarray(x))

@@ -208,3 +208,53 @@ def test_random_walk_with_restart(g, rng):
         for v in tr.tolist():
             allowed |= adj.get(v, set())
         assert reach <= allowed | {seed}
+
+
+def test_metapath_random_walk_and_pack(rng):
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.sampling import metapath_random_walk, pack_traces
+    hg = dgl.heterograph({
+        ("user", "view", "item"): ([0, 0, 1, 2, 3, 3], [0, 1, 1, 2, 2, 1]),
+        ("item", "viewed-by", "user"): ([0, 1, 1, 2, 2, 1],
+                                        [0, 0, 1, 2, 3, 3]),
+    })
+    traces, types = metapath_random_walk(
+        hg, ["view", "viewed-by"] * 2, [0, 1, 2],
+        rng=np.random.default_rng(0))
+    assert traces.shape == (3, 5)
+    # alternating types user(=index of 'user') item ...
+    ntypes = list(hg.ntypes)
+    assert types.tolist() == [ntypes.index("user"), ntypes.index("item"),
+                              ntypes.index("user"), ntypes.index("item"),
+                              ntypes.index("user")]
+    assert (traces[:, 0] == [0, 1, 2]).all()
+    vids, tys, lengths, offsets = pack_traces(traces, types)
+    assert vids.shape == tys.shape
+    assert lengths.sum() == len(vids)
+    assert (vids >= 0).all()
+    assert offsets[0] == 0 and (np.diff(offsets) == lengths[:-1]).all()
+
+
+def test_pinsage_sampler(rng):
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.sampling import PinSAGESampler
+    nu, ni = 12, 8
+    u = rng.integers(0, nu, 60).astype(np.int32)
+    v = rng.integers(0, ni, 60).astype(np.int32)
+    hg = dgl.heterograph({
+        ("user", "likes", "item"): (u, v),
+        ("item", "liked-by", "user"): (v, u),
+    })
+    sampler = PinSAGESampler(hg, "user", "item", random_walk_length=2,
+                             random_walk_restart_prob=0.2,
+                             num_random_walks=20, num_neighbors=3, seed=0)
+    seeds = np.array([0, 1, 2])
+    g = sampler(seeds)
+    assert g.num_nodes() == nu
+    s, d = (np.asarray(x) for x in g.edges(order="eid"))
+    assert set(d.tolist()).issubset(set(seeds.tolist()))
+    # each seed gets at most num_neighbors neighbors, weighted by visits
+    for sd in seeds:
+        assert (d == sd).sum() <= 3
+    w = np.asarray(g.edata["weights"])
+    assert (w >= 1).all()
