@@ -152,7 +152,13 @@ class DGMG(nn.Module):
         return h, e, d, src_idx, bond_1h
 
     def _apply_add_node(self, hv, node_mask, n_nodes, label, g_embed):
-        emb = self.node_type_embed(jnp.maximum(label, 0))
+        # the label is only meaningful on (masked-in) ADD_NODE steps; on
+        # other steps it may be a dest node id or the stop index —
+        # clamp before embedding (an out-of-range gather poisons the
+        # embedding/init grads with NaN even though the result is
+        # discarded by the step mask)
+        emb = self.node_type_embed(
+            jnp.clip(label, 0, self.n_node_types - 1))
         hv_init = self.initialize_hv(jnp.concatenate([emb, g_embed]))
         hv = hv.at[n_nodes].set(hv_init)
         node_mask = node_mask.at[n_nodes].set(1.0)

@@ -126,3 +126,37 @@ def test_train_kg_dist_example(capsys):
     # distributed sparse-Adagrad training actually learns
     assert res["loss_last10"] < 0.5 * res["loss_first10"]
     assert res["mrr"] > 0.5
+
+
+def test_pagerank_example(capsys):
+    import json
+    out = _run_example("examples/pagerank.py",
+                       ["--n", "50", "--iters", "10"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert abs(res["sum"] - 1.0) < 1e-3
+
+
+def test_train_dgmg_example(capsys):
+    import json
+    out = _run_example("examples/train_dgmg.py",
+                       ["--epochs", "6", "--n_graphs", "12",
+                        "--samples", "4"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["nll_last"] < res["nll_first"]
+    assert np.isfinite(res["nll_last"])
+
+
+def test_train_han_example(capsys):
+    import json
+    out = _run_example("examples/train_han.py",
+                       ["--epochs", "25", "--papers", "150"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.6
+
+
+def test_train_cluster_gcn_example(capsys):
+    import json
+    out = _run_example("examples/train_cluster_gcn.py",
+                       ["--epochs", "8", "--parts", "4"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.7
