@@ -225,14 +225,17 @@ def send_and_recv(g: Graph, edge_ids: Array, message_func: MessageFunc,
 
 
 def pull(g: Graph, v: Array, message_func: MessageFunc,
-         reduce_func: ReduceFunc) -> None:
+         reduce_func: ReduceFunc,
+         max_degree: Optional[int] = None) -> None:
     """Aggregate only into nodes ``v`` (reference: graph.py:3021).
 
     Computes the full reduction then keeps rows v — correct and
     static-shaped; the reference builds a dynamic subgraph instead.
+    Pass ``max_degree`` for UDF reducers under jit (the mailbox width
+    must be static).
     """
     prev = {k: val for k, val in g._node_frames[-1].items()}
-    update_all(g, message_func, reduce_func)
+    update_all(g, message_func, reduce_func, max_degree=max_degree)
     v = jnp.asarray(v)
     out_fields = (set(g._node_frames[-1]) - set(prev)) | \
         {k for k in prev if g._node_frames[-1][k] is not prev[k]}

@@ -160,3 +160,11 @@ def test_train_cluster_gcn_example(capsys):
                        ["--epochs", "8", "--parts", "4"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["test_acc"] > 0.7
+
+
+def test_train_tree_lstm_example(capsys):
+    import json
+    out = _run_example("examples/train_tree_lstm.py",
+                       ["--epochs", "8", "--n_trees", "24"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] >= 0.4     # above chance (3 classes)
