@@ -168,3 +168,19 @@ def test_train_tree_lstm_example(capsys):
                        ["--epochs", "8", "--n_trees", "24"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["test_acc"] >= 0.4     # above chance (3 classes)
+
+
+def test_train_metapath2vec_example(capsys):
+    import json
+    out = _run_example("examples/train_metapath2vec.py",
+                       ["--epochs", "3"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["separation"] > 0.05   # same-area users embed closer
+
+
+def test_train_dgi_example(capsys):
+    import json
+    out = _run_example("examples/train_dgi.py",
+                       ["--epochs", "25", "--probe_epochs", "60"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["probe_test_acc"] > 0.6
