@@ -184,3 +184,11 @@ def test_train_dgi_example(capsys):
                        ["--epochs", "25", "--probe_epochs", "60"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["probe_test_acc"] > 0.6
+
+
+def test_train_gcmc_example(capsys):
+    import json
+    out = _run_example("examples/train_gcmc.py",
+                       ["--epochs", "50"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.42       # well above 3-class chance

@@ -112,3 +112,32 @@ def test_group_apply_edges_src(rng):
     want = w / tot_per_src[src]
     np.testing.assert_allclose(got, want.astype(np.float32),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_graph_pickle_roundtrip(rng):
+    """Pickle parity (reference: tests/compute test_pickle.py /
+    src/graph/pickle.cc): Graph and HeteroGraph pytrees pickle with
+    features and structure intact."""
+    import pickle
+    import dgl_hack_tpu as dgl
+    src = rng.integers(0, 20, 60).astype(np.int32)
+    dst = rng.integers(0, 20, 60).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=20)
+    g.ndata["h"] = rng.normal(size=(20, 3)).astype(np.float32)
+    g.edata["w"] = rng.normal(size=(60,)).astype(np.float32)
+    g2 = pickle.loads(pickle.dumps(g))
+    assert g2.num_edges() == g.num_edges()
+    s1, d1 = g.host_edges()
+    s2, d2 = g2.host_edges()
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(np.asarray(g2.ndata["h"]),
+                               np.asarray(g.ndata["h"]))
+    np.testing.assert_allclose(np.asarray(g2.edata["w"]),
+                               np.asarray(g.edata["w"]))
+
+    hg = dgl.heterograph({("u", "e", "v"): ([0, 1], [1, 0])})
+    hg.nodes_data("u")["x"] = np.ones((2, 2), np.float32)
+    hg2 = pickle.loads(pickle.dumps(hg))
+    assert hg2.canonical_etypes == hg.canonical_etypes
+    np.testing.assert_allclose(np.asarray(hg2.nodes_data("u")["x"]), 1.0)

@@ -30,9 +30,9 @@ MATRIX = [
     ("train_gin.py", ["--dataset", "synth", "--epochs", "20"]),
     ("train_sgc.py", ["--dataset", "synth", "--epochs", "40"]),
     ("train_appnp.py", ["--dataset", "synth", "--epochs", "40"]),
-    ("train_sage_sampling.py", ["--epochs", "3"]),
+    ("train_sage_sampling.py", ["--num-epochs", "3"]),
     ("train_rgcn.py", ["--epochs", "30"]),
-    ("train_kg.py", ["--steps", "300", "--scale", "0.05"]),
+    ("train_kg.py", ["--max_step", "300"]),
     ("train_kg_dist.py", ["--steps", "80", "--scale", "0.02",
                           "--batch", "256", "--neg", "32",
                           "--chunk", "32", "--eval_triples", "100"]),
@@ -49,9 +49,14 @@ def run_one(script, args, platform=None):
         # default inherits the session platform (axon -> real TPU)
         env["JAX_PLATFORMS"] = platform
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "examples", script)] + args,
-        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "examples", script)] + args,
+            capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return {"script": script, "args": args, "ok": False,
+                "wall_s": round(time.perf_counter() - t0, 2),
+                "result": None, "stderr_tail": "TIMEOUT"}
     wall = time.perf_counter() - t0
     last = None
     for line in reversed(proc.stdout.strip().splitlines()):
