@@ -38,6 +38,14 @@ MATRIX = [
                           "--chunk", "32", "--eval_triples", "100"]),
     ("train_chem.py", ["--model", "gcn", "--epochs", "15"]),
     ("train_chem.py", ["--model", "schnet", "--epochs", "10"]),
+    ("train_han.py", ["--epochs", "30", "--papers", "200"]),
+    ("train_cluster_gcn.py", ["--epochs", "10", "--parts", "4"]),
+    ("train_dgi.py", ["--epochs", "30"]),
+    ("train_gcmc.py", ["--epochs", "50"]),
+    ("train_dgmg.py", ["--epochs", "8", "--n_graphs", "16"]),
+    ("train_metapath2vec.py", ["--epochs", "3"]),
+    ("train_tree_lstm.py", ["--epochs", "8", "--n_trees", "24"]),
+    ("pagerank.py", ["--n", "80", "--iters", "15"]),
 ]
 
 
