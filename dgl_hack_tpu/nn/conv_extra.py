@@ -69,7 +69,8 @@ class DenseSAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, adj: Array, feat: Array):
-        in_deg = jnp.maximum(adj.sum(1, keepdims=True), 1.0)
+        """adj (..., N, N) — works batched (DiffPool-style (B, N, N))."""
+        in_deg = jnp.maximum(adj.sum(-1, keepdims=True), 1.0)
         h_neigh = (adj @ feat + feat) / (in_deg + 1)
         return nn.Dense(self.out_feats, use_bias=self.use_bias,
                         kernel_init=xavier, name="fc")(h_neigh)

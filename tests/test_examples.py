@@ -192,3 +192,19 @@ def test_train_gcmc_example(capsys):
                        ["--epochs", "50"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["test_acc"] > 0.42       # well above 3-class chance
+
+
+def test_train_monet_example(capsys):
+    import json
+    out = _run_example("examples/train_monet.py", ["--epochs", "30"],
+                       capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.7
+
+
+def test_train_diffpool_example(capsys):
+    import json
+    out = _run_example("examples/train_diffpool.py",
+                       ["--epochs", "30", "--graphs", "96"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.7
