@@ -595,3 +595,113 @@ def _graph_queries():
 
 
 _graph_queries()
+
+
+# ---------------------------------------------------------------------------
+# DGL-API ergonomics (reference: python/dgl/graph.py method surface)
+# ---------------------------------------------------------------------------
+def _graph_api_extras():
+    import contextlib
+
+    def local_var(self):
+        """A shallow graph copy whose frame MUTATIONS don't leak back
+        (reference: DGLGraph.local_var, graph.py).  Structure arrays are
+        shared; only the frame dicts are copied."""
+        g = self.replace()
+        g._node_frames = [dict(f) for f in self._node_frames]
+        g._edge_frame = dict(self._edge_frame)
+        return g
+
+    @contextlib.contextmanager
+    def local_scope(self):
+        """Context manager: frame writes inside the block are discarded
+        on exit (reference: DGLGraph.local_scope)."""
+        saved_n = [dict(f) for f in self._node_frames]
+        saved_e = dict(self._edge_frame)
+        try:
+            yield self
+        finally:
+            for f, s in zip(self._node_frames, saved_n):
+                f.clear()
+                f.update(s)
+            self._edge_frame.clear()
+            self._edge_frame.update(saved_e)
+
+    def subgraph(self, nodes):
+        from .transform import node_subgraph
+        return node_subgraph(self, nodes)
+
+    def edge_subgraph_m(self, eids, relabel_nodes=True):
+        from .transform import edge_subgraph
+        return edge_subgraph(self, eids, relabel_nodes)
+
+    def in_degree(self, v) -> int:
+        return int(np.asarray(self.host("csc_indptr"))[int(v) + 1]
+                   - np.asarray(self.host("csc_indptr"))[int(v)])
+
+    def out_degree(self, u) -> int:
+        indptr = self.host("csr_indptr")
+        return int(indptr[int(u) + 1] - indptr[int(u)])
+
+    def has_node(self, v) -> bool:
+        return 0 <= int(v) < self.num_nodes()
+
+    def has_edge_between(self, u, v) -> bool:
+        return bool(np.asarray(self.has_edges_between([u], [v]))[0])
+
+    def adjacency_matrix(self, transpose: bool = False, scipy_fmt=None):
+        """Adjacency as scipy sparse (A[dst, src] by default, matching
+        the reference's 'in' orientation) or a dense jnp array."""
+        import scipy.sparse as sp
+        s, d = self.host_edges()
+        n, m = self.num_src_nodes, self.num_dst_nodes
+        a = sp.coo_matrix((np.ones(len(s), np.float32), (d, s)),
+                          shape=(m, n))
+        if transpose:
+            a = a.T
+        if scipy_fmt:
+            return a.asformat(scipy_fmt)
+        return jnp.asarray(a.toarray())
+
+    def incidence_matrix(self, typestr: str = "both"):
+        """Node-edge incidence ('in' | 'out' | 'both', reference:
+        graph.py incidence_matrix), dense jnp array."""
+        s, d = self.host_edges()
+        E = len(s)
+        m = np.zeros((self.num_nodes(), E), np.float32)
+        if typestr in ("in", "both"):
+            m[d, np.arange(E)] += 1.0
+        if typestr in ("out", "both"):
+            m[s, np.arange(E)] += -1.0 if typestr == "both" else 1.0
+        if typestr == "both":
+            # self-loops cancel to 0, matching the reference
+            loop = s == d
+            m[d[loop], np.nonzero(loop)[0]] = 0.0
+        return jnp.asarray(m)
+
+    def add_nodes_m(self, num: int):
+        """Functional: returns a NEW graph (immutable design; the
+        reference mutates in place)."""
+        from .transform import add_nodes
+        return add_nodes(self, num)
+
+    def add_edges_m(self, u, v):
+        from .transform import add_edges
+        return add_edges(self, u, v)
+
+    Graph.local_var = local_var
+    Graph.local_scope = local_scope
+    Graph.subgraph = subgraph
+    Graph.edge_subgraph = edge_subgraph_m
+    Graph.in_degree = in_degree
+    Graph.out_degree = out_degree
+    Graph.has_node = has_node
+    Graph.has_edge_between = has_edge_between
+    Graph.adjacency_matrix = adjacency_matrix
+    Graph.incidence_matrix = incidence_matrix
+    Graph.add_nodes = add_nodes_m
+    Graph.add_edges = add_edges_m
+    Graph.is_readonly = property(lambda self: True)
+
+
+_graph_api_extras()

@@ -429,3 +429,77 @@ def metapath_reachable_graph(hg: HeteroGraph,
     return _build(coo.row.astype(np.int32), coo.col.astype(np.int32),
                   acc.shape[0], acc.shape[1],
                   is_block=acc.shape[0] != acc.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# DGLHeteroGraph-API ergonomics (reference: python/dgl/heterograph.py)
+# ---------------------------------------------------------------------------
+def _hetero_api_extras():
+    import contextlib
+
+    def number_of_nodes(self, ntype=None):
+        return self.num_nodes(ntype)
+
+    def number_of_edges(self, etype=None):
+        return self.num_edges(etype)
+
+    def apply_nodes(self, func, ntype=None):
+        """Node UDF over one ntype's frame (reference:
+        heterograph.py apply_nodes)."""
+        if ntype is None:
+            if len(self._num_nodes) != 1:
+                raise ValueError("pass ntype for multi-ntype graphs")
+            ntype = self.ntypes[0]
+        from .message import NodeBatch
+        nb = NodeBatch(dict(self._node_frames[ntype]))
+        res = func(nb)
+        if not isinstance(res, dict):
+            raise TypeError("node UDF must return a dict")
+        self._node_frames[ntype].update(res)
+
+    def node_type_subgraph(self, ntypes):
+        """Subgraph keeping only the given node types and relations
+        among them (reference: heterograph.py node_type_subgraph)."""
+        keep = set(ntypes)
+        rels = {c: g for c, g in self.relations.items()
+                if c[0] in keep and c[2] in keep}
+        nn = {nt: self._num_nodes[nt] for nt in keep}
+        frames = {nt: dict(self._node_frames[nt]) for nt in keep}
+        return HeteroGraph(rels, nn, frames)
+
+    def edge_type_subgraph(self, etypes):
+        """Subgraph keeping only the given edge types (+ their endpoint
+        node types) (reference: heterograph.py edge_type_subgraph)."""
+        cets = [self.to_canonical_etype(et) for et in etypes]
+        rels = {c: self.relations[c] for c in cets}
+        keep = {c[0] for c in cets} | {c[2] for c in cets}
+        nn = {nt: self._num_nodes[nt] for nt in keep}
+        frames = {nt: dict(self._node_frames[nt]) for nt in keep}
+        return HeteroGraph(rels, nn, frames)
+
+    def local_var(self):
+        return HeteroGraph(self.relations, self._num_nodes,
+                           {nt: dict(f)
+                            for nt, f in self._node_frames.items()},
+                           self._batch_info)
+
+    @contextlib.contextmanager
+    def local_scope(self):
+        saved = {nt: dict(f) for nt, f in self._node_frames.items()}
+        try:
+            yield self
+        finally:
+            for nt, f in self._node_frames.items():
+                f.clear()
+                f.update(saved[nt])
+
+    HeteroGraph.number_of_nodes = number_of_nodes
+    HeteroGraph.number_of_edges = number_of_edges
+    HeteroGraph.apply_nodes = apply_nodes
+    HeteroGraph.node_type_subgraph = node_type_subgraph
+    HeteroGraph.edge_type_subgraph = edge_type_subgraph
+    HeteroGraph.local_var = local_var
+    HeteroGraph.local_scope = local_scope
+
+
+_hetero_api_extras()

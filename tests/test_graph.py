@@ -141,3 +141,42 @@ def test_graph_pickle_roundtrip(rng):
     hg2 = pickle.loads(pickle.dumps(hg))
     assert hg2.canonical_etypes == hg.canonical_etypes
     np.testing.assert_allclose(np.asarray(hg2.nodes_data("u")["x"]), 1.0)
+
+
+def test_graph_api_extras(rng):
+    """DGL-API method surface (reference: python/dgl/graph.py —
+    local_var/local_scope, degrees, adjacency/incidence, membership)."""
+    import jax.numpy as jnp
+    import dgl_hack_tpu as dgl
+    g = dgl.graph(([0, 1, 2, 0], [1, 2, 0, 2]), num_nodes=3)
+    g.ndata["h"] = np.ones((3, 2), np.float32)
+
+    # local_var: writes don't leak
+    lv = g.local_var()
+    lv.ndata["h2"] = np.zeros((3, 1), np.float32)
+    assert "h2" in lv.ndata and "h2" not in g.ndata
+    # local_scope: writes rolled back
+    with g.local_scope():
+        g.ndata["tmp"] = np.zeros((3, 1), np.float32)
+        assert "tmp" in g.ndata
+    assert "tmp" not in g.ndata and "h" in g.ndata
+
+    assert g.in_degree(2) == 2 and g.out_degree(0) == 2
+    assert g.has_node(2) and not g.has_node(3)
+    assert g.has_edge_between(0, 1) and not g.has_edge_between(1, 0)
+
+    a = np.asarray(g.adjacency_matrix())        # A[dst, src]
+    assert a[1, 0] == 1 and a[0, 1] == 0
+    inc = np.asarray(g.incidence_matrix("in"))
+    assert inc.shape == (3, 4) and inc.sum() == 4
+
+    sub, nodes, eids = g.subgraph([0, 1])
+    assert sub.num_nodes() == 2 and sub.num_edges() == 1
+    sub2, _, _ = g.edge_subgraph([0, 1])
+    assert sub2.num_edges() == 2
+
+    g2 = g.add_nodes(2)
+    assert g2.num_nodes() == 5 and g.num_nodes() == 3  # functional
+    g3 = g.add_edges([2], [1])
+    assert g3.num_edges() == 5
+    assert g.is_readonly

@@ -153,3 +153,33 @@ def test_batch_hetero_roundtrip(rng):
         s_g, d_g = g.relations[("user", "plays", "game")].host_edges()
         np.testing.assert_array_equal(s_p, s_g)
         np.testing.assert_array_equal(d_p, d_g)
+
+
+def test_hetero_api_extras(rng):
+    """Reference: heterograph.py apply_nodes / type subgraphs /
+    local_var/local_scope."""
+    import dgl_hack_tpu as dgl
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): ([0, 1], [1, 2]),
+        ("user", "plays", "game"): ([0, 2], [0, 1]),
+    })
+    assert hg.number_of_nodes("user") == 3
+    assert hg.number_of_edges("plays") == 2
+
+    hg.nodes_data("user")["h"] = np.ones((3, 2), np.float32)
+    hg.apply_nodes(lambda nb: {"h2": nb.data["h"] * 2}, ntype="user")
+    assert np.allclose(np.asarray(hg.nodes_data("user")["h2"]), 2.0)
+
+    sub = hg.node_type_subgraph(["user"])
+    assert sub.canonical_etypes == (("user", "follows", "user"),)
+    sub2 = hg.edge_type_subgraph(["plays"])
+    assert set(sub2.ntypes) == {"game", "user"}
+    assert sub2.num_edges() == 2
+
+    with hg.local_scope():
+        hg.nodes_data("game")["x"] = np.zeros((2, 1), np.float32)
+        assert "x" in hg.nodes_data("game")
+    assert "x" not in hg.nodes_data("game")
+    lv = hg.local_var()
+    lv.nodes_data("user")["y"] = np.zeros((3, 1), np.float32)
+    assert "y" not in hg.nodes_data("user")
