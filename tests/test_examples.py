@@ -208,3 +208,12 @@ def test_train_diffpool_example(capsys):
                        ["--epochs", "30", "--graphs", "96"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["test_acc"] > 0.7
+
+
+def test_train_lgnn_example(capsys):
+    import json
+    out = _run_example("examples/train_lgnn.py",
+                       ["--epochs", "50", "--graphs", "20",
+                        "--layers", "4"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.55      # above the 0.5 community chance

@@ -19,7 +19,9 @@ def main():
     g = random_power_law_graph(N, avg_degree=AVG_DEG, alpha=2.1, seed=0)
     # flat_width: the fused-GAT kernel gathers (H*D + 2H)-wide rows; size
     # the flat-plan budget to that so auto-flat stays within HBM
-    gp = dgl.prepare_spmm(g, flat_width=H * D + 2 * H)
+    # te=256 chunked-acc measured best for fused GAT (45.3 vs 62.1 ms
+    # at te=1024; KERNELS.md)
+    gp = dgl.prepare_spmm(g, te=256, flat_width=H * D + 2 * H)
     E = g.num_edges()
     rng = np.random.default_rng(0)
     fsrc = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
