@@ -217,3 +217,11 @@ def test_train_lgnn_example(capsys):
                         "--layers", "4"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["test_acc"] > 0.55      # above the 0.5 community chance
+
+
+def test_train_pointcloud_example(capsys):
+    import json
+    out = _run_example("examples/train_pointcloud.py",
+                       ["--epochs", "8", "--clouds", "30"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.6
