@@ -351,6 +351,17 @@ def _build(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
            *, is_block: bool, build_csr: bool = True,
            edge_mask: Optional[np.ndarray] = None) -> Graph:
     E = src.shape[0]
+    # id-width ceiling: every index is int32 on-device (512 B gather rows
+    # want narrow ids; see KERNELS.md).  The reference carries 32/64-bit
+    # ids (python/dgl/heterograph_index.py:162-183 asbits/bits_needed);
+    # here graphs beyond 2^31-1 nodes/edges must be partitioned first
+    # (partition/partition.py), so fail loudly instead of overflowing.
+    _I32_MAX = np.iinfo(np.int32).max
+    if E > _I32_MAX or num_src > _I32_MAX or num_dst > _I32_MAX:
+        raise ValueError(
+            f"graph exceeds the int32 id ceiling (num_src={num_src}, "
+            f"num_dst={num_dst}, num_edges={E} vs 2^31-1); partition the "
+            "graph (dgl_hack_tpu.partition) before building device arrays")
     src = np.ascontiguousarray(src, dtype=np.int32)
     dst = np.ascontiguousarray(dst, dtype=np.int32)
     if E and (src.min(initial=0) < 0 or src.max(initial=-1) >= num_src):
@@ -552,23 +563,38 @@ def _graph_queries():
     def successors(self, u):
         return np.unique(self.out_edges(u)[1])
 
+    def _pair_index(self):
+        """Cached sorted (src<<32|dst) key table for O(log E) pair queries
+        (built once per graph; graphs are immutable)."""
+        cache = getattr(self, "_pair_lut", None)
+        if cache is None:
+            s, d = self.host_edges()
+            keys = s.astype(np.int64) << 32 | d.astype(np.int64)
+            order = np.argsort(keys, kind="stable")
+            cache = (keys[order], order.astype(np.int32))
+            object.__setattr__(self, "_pair_lut", cache)
+        return cache
+
     def has_edges_between(self, u, v):
-        s, d = (np.asarray(x) for x in self.edges(order="eid"))
-        pairs = set(zip(s.tolist(), d.tolist()))
-        u = np.atleast_1d(np.asarray(u))
-        v = np.atleast_1d(np.asarray(v))
-        return np.array([(int(a), int(b)) in pairs for a, b in zip(u, v)])
+        keys, _ = self._pair_index()
+        u = np.atleast_1d(np.asarray(u, np.int64))
+        v = np.atleast_1d(np.asarray(v, np.int64))
+        q = u << 32 | v
+        pos = np.searchsorted(keys, q)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        return (keys[pos] == q) if len(keys) else np.zeros(len(q), bool)
 
     def edge_ids(self, u, v):
         """First edge id between each (u, v) pair; -1 if absent."""
-        s, d = (np.asarray(x) for x in self.edges(order="eid"))
-        lut = {}
-        for e in range(len(s) - 1, -1, -1):
-            lut[(int(s[e]), int(d[e]))] = e
-        u = np.atleast_1d(np.asarray(u))
-        v = np.atleast_1d(np.asarray(v))
-        return np.array([lut.get((int(a), int(b)), -1)
-                         for a, b in zip(u, v)], np.int32)
+        keys, order = self._pair_index()
+        u = np.atleast_1d(np.asarray(u, np.int64))
+        v = np.atleast_1d(np.asarray(v, np.int64))
+        q = u << 32 | v
+        pos = np.searchsorted(keys, q)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos_c] == q) if len(keys) else np.zeros(len(q), bool)
+        out = np.where(hit, order[pos_c] if len(keys) else 0, -1)
+        return out.astype(np.int32)
 
     def filter_nodes(self, predicate):
         """Node ids where predicate(NodeBatch) is True (reference:
@@ -588,6 +614,7 @@ def _graph_queries():
     Graph.out_edges = out_edges
     Graph.predecessors = predecessors
     Graph.successors = successors
+    Graph._pair_index = _pair_index
     Graph.has_edges_between = has_edges_between
     Graph.edge_ids = edge_ids
     Graph.filter_nodes = filter_nodes

@@ -147,12 +147,21 @@ class HeteroGraph:
         from .message import update_all as _ua
         _ua(self[etype], message_func, reduce_func)
 
-    def multi_update_all(self, etype_dict: Dict[Any, Tuple], cross_reducer: str
-                         ) -> None:
+    def multi_update_all(self, etype_dict: Dict[Any, Tuple], cross_reducer: str,
+                         apply_node_func=None,
+                         max_degree: Optional[int] = None) -> None:
         """Per-etype message+reduce, then cross-type combination
         (sum/max/min/mean/stack), writing into each dst ntype's frame
-        (reference: python/dgl/heterograph.py:3570)."""
-        from .message import compute_messages
+        (reference: python/dgl/heterograph.py:3570).
+
+        UDF reducers run per relation over the dense padded mailbox
+        (core/message.py:build_mailbox — the static-shape replacement for
+        the reference's degree bucketing); each field the UDF returns
+        becomes a per-etype partial and joins the cross-type reduction.
+        Pass ``max_degree`` (the max in-degree over all relations) when
+        calling under jit so the mailbox width is static.
+        """
+        from .message import NodeBatch, build_mailbox, compute_messages
         from ..ops import segment as seg
 
         partials: Dict[str, Dict[str, list]] = {}
@@ -168,19 +177,26 @@ class HeteroGraph:
                     None if mf.op == "copy_rhs" else _lookup(rel, mf.lhs_target, mf.lhs_field),
                     None if mf.op == "copy_lhs" else _lookup(rel, mf.rhs_target, mf.rhs_field),
                     mf.lhs_target or "u", mf.rhs_target or "e")
-                field = rf.out_field
-            else:
+                outs = {rf.out_field: out}
+            elif isinstance(rf, BuiltinReduce):
                 msgs = compute_messages(rel, mf)
-                if not isinstance(rf, BuiltinReduce):
-                    raise NotImplementedError(
-                        "UDF reducers in multi_update_all not supported; "
-                        "use update_all per etype")
                 out = seg.segment_reduce(rf.reducer, msgs[rf.msg_field],
                                          rel.dst, rel.num_dst_nodes,
                                          indices_are_sorted=True,
                                          mask=rel.edge_mask)
-                field = rf.out_field
-            partials.setdefault(dt, {}).setdefault(field, []).append(out)
+                outs = {rf.out_field: out}
+            else:
+                # UDF reducer: dense padded mailbox per relation, exactly
+                # the single-etype update_all UDF path
+                msgs = compute_messages(rel, mf)
+                mailbox, mask, deg = build_mailbox(rel, msgs, max_degree)
+                nb = NodeBatch(dict(self._node_frames[dt]), mailbox, mask,
+                               deg)
+                outs = rf(nb)
+                if not isinstance(outs, dict):
+                    raise TypeError("reduce UDF must return a dict")
+            for field, out in outs.items():
+                partials.setdefault(dt, {}).setdefault(field, []).append(out)
 
         for dt, fields in partials.items():
             for field, outs in fields.items():
@@ -197,6 +213,14 @@ class HeteroGraph:
                 else:
                     raise ValueError(f"unknown cross reducer {cross_reducer!r}")
                 self._node_frames[dt][field] = val
+        if apply_node_func is not None:
+            for dt in partials:
+                from .message import NodeBatch
+                nb = NodeBatch(dict(self._node_frames[dt]))
+                res = apply_node_func(nb)
+                if not isinstance(res, dict):
+                    raise TypeError("node UDF must return a dict")
+                self._node_frames[dt].update(res)
 
     def apply_edges(self, func, etype=None) -> None:
         from .message import apply_edges as _ae

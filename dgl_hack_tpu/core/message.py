@@ -229,8 +229,11 @@ def pull(g: Graph, v: Array, message_func: MessageFunc,
          max_degree: Optional[int] = None) -> None:
     """Aggregate only into nodes ``v`` (reference: graph.py:3021).
 
-    Computes the full reduction then keeps rows v — correct and
-    static-shaped; the reference builds a dynamic subgraph instead.
+    Perf note: this is **O(E) regardless of |v|** — it computes the
+    full-graph reduction then keeps rows v, because static shapes are
+    what XLA wants (the reference builds a dynamic subgraph instead,
+    runtime/scheduler.py:451).  For a small, repeated pull on a huge
+    graph, build an ``in_subgraph(g, v)`` once and ``update_all`` on it.
     Pass ``max_degree`` for UDF reducers under jit (the mailbox width
     must be static).
     """

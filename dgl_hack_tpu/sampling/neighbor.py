@@ -77,12 +77,25 @@ def sample_neighbors(g: Graph, nodes: Sequence[int], fanout: int,
                               for s, c in zip(starts, degs)]) \
             if len(nodes) else np.zeros(0, np.int64)
         dst_sel = np.repeat(nodes, degs)
-    elif replace:
+    elif replace and prob is None:
         # vectorised: fanout uniform picks per seed (zero-degree -> none)
         nz = degs > 0
         r = rng.random((nz.sum(), fanout))
         pick = (r * degs[nz][:, None]).astype(np.int64)
         pos = (starts[nz][:, None] + pick).reshape(-1)
+        dst_sel = np.repeat(nodes[nz], fanout)
+    elif replace:
+        # weighted with replacement: vectorised inverse-CDF over the
+        # per-seed edge-weight prefix sums (reference: ArrayHeap sampling,
+        # src/graph/sampler.cc:28)
+        nz = degs > 0
+        w = prob[csc.eid].astype(np.float64)
+        cumw = np.concatenate([[0.0], np.cumsum(w)])
+        lo, hi = cumw[starts[nz]], cumw[starts[nz] + degs[nz]]
+        r = lo[:, None] + rng.random((int(nz.sum()), fanout)) \
+            * (hi - lo)[:, None]
+        pick = np.searchsorted(cumw, r.reshape(-1), side="right") - 1
+        pos = np.minimum(pick, np.repeat(starts[nz] + degs[nz] - 1, fanout))
         dst_sel = np.repeat(nodes[nz], fanout)
     else:
         # without replacement: per-seed partial permutation
@@ -103,9 +116,6 @@ def sample_neighbors(g: Graph, nodes: Sequence[int], fanout: int,
         dst_sel = np.concatenate(dst_list) if dst_list else \
             np.zeros(0, np.int64)
 
-    if prob is not None and fanout >= 0 and replace:
-        raise NotImplementedError("weighted sampling with replacement: use "
-                                  "replace=False or fanout=-1")
     src_sel = csc.src[pos]
     eids = csc.eid[pos]
     frontier = _build(src_sel.astype(np.int32), dst_sel.astype(np.int32),

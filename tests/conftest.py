@@ -22,6 +22,27 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Example smokes that stay in the fast subset (each < ~15 s); everything
+# else in test_examples.py is marked slow so `-m "not slow"` fits a
+# 10-minute budget (the full matrix still runs in CI / the regression
+# harness, tools/regression.py).
+_FAST_EXAMPLE_SMOKES = {
+    "test_train_gcn_example", "test_pagerank_example", "test_partition_tool",
+    "test_train_spatial_example",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long example smokes (deselect with -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (os.path.basename(str(item.fspath)) == "test_examples.py"
+                and item.name not in _FAST_EXAMPLE_SMOKES):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

@@ -6,6 +6,11 @@ set -e
 DEV="${DGL_TPU_TESTDEV:-cpu}"
 cd "$(dirname "$0")/../.."
 if [ "$DEV" = "cpu" ]; then
+    # DGL_TPU_FAST=1 -> fast subset (drops the slow example smokes;
+    # fits a 10-minute budget)
+    if [ "${DGL_TPU_FAST:-0}" = "1" ]; then
+        exec python -m pytest tests/ -x -q -m "not slow" "$@"
+    fi
     exec python -m pytest tests/ -x -q "$@"
 else
     # real-TPU smoke: the kernels' on-hardware checks (one process!)

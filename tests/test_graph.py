@@ -180,3 +180,24 @@ def test_graph_api_extras(rng):
     g3 = g.add_edges([2], [1])
     assert g3.num_edges() == 5
     assert g.is_readonly
+
+
+def test_edge_ids_and_has_edges_between(rng):
+    """Pair queries via the cached sorted-key index (O(log E)/query;
+    reference: graph.py edge_ids / has_edges_between)."""
+    import dgl_hack_tpu as dgl
+    # duplicate (0->1) edge: edge_ids must return the FIRST user eid
+    g = dgl.graph(([0, 2, 0, 1], [1, 0, 1, 2]), num_nodes=3)
+    ids = g.edge_ids([0, 2, 1, 1], [1, 0, 2, 0])
+    assert ids.tolist() == [0, 1, 3, -1]
+    hit = g.has_edges_between([0, 2, 1, 1], [1, 0, 2, 0])
+    assert hit.tolist() == [True, True, True, False]
+
+
+def test_int32_id_ceiling():
+    """Graphs beyond 2^31-1 ids must fail loudly, not overflow
+    (reference keeps 64-bit ids: heterograph_index.py:162-183)."""
+    import pytest
+    import dgl_hack_tpu as dgl
+    with pytest.raises(ValueError, match="int32 id ceiling"):
+        dgl.graph(([0], [1]), num_nodes=2**31 + 5)

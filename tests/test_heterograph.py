@@ -183,3 +183,52 @@ def test_hetero_api_extras(rng):
     lv = hg.local_var()
     lv.nodes_data("user")["y"] = np.zeros((3, 1), np.float32)
     assert "y" not in hg.nodes_data("user")
+
+
+def test_multi_update_all_udf_reducer(hg, rng):
+    """UDF reducers in multi_update_all run over the padded mailbox per
+    relation and must match per-etype update_all + manual cross-combine
+    (reference: python/dgl/heterograph.py:3570 degree-bucketing path)."""
+    hu = rng.normal(size=(4, 3)).astype(np.float32)
+    hd = rng.normal(size=(2, 3)).astype(np.float32)
+    hg.nodes_data("user")["h"] = jnp.asarray(hu)
+    hg.nodes_data("developer")["h"] = jnp.asarray(hd)
+
+    def udf_reduce(nodes):
+        # masked mean over the mailbox — exercises mask + degrees
+        m = nodes.mailbox["m"]
+        w = nodes.mask[..., None].astype(m.dtype)
+        return {"agg": (m * w).sum(1) /
+                jnp.maximum(nodes.degrees, 1)[:, None]}
+
+    hg.multi_update_all({
+        "plays": (fn.copy_u("h", "m"), udf_reduce),
+        "develops": (fn.copy_u("h", "m"), udf_reduce),
+    }, "sum")
+    got = np.asarray(hg.nodes_data("game")["agg"])
+
+    # oracle: builtin mean per etype + manual sum
+    hg2 = dgl.heterograph({
+        ("user", "follows", "user"): ([0, 1, 2], [1, 2, 3]),
+        ("user", "plays", "game"): ([0, 1, 1, 3], [0, 0, 1, 1]),
+        ("developer", "develops", "game"): ([0, 1], [0, 1]),
+    })
+    hg2.nodes_data("user")["h"] = jnp.asarray(hu)
+    hg2.nodes_data("developer")["h"] = jnp.asarray(hd)
+    hg2.update_all(fn.copy_u("h", "m"), fn.mean("m", "a1"), etype="plays")
+    hg2.update_all(fn.copy_u("h", "m"), fn.mean("m", "a2"),
+                   etype="develops")
+    want = np.asarray(hg2.nodes_data("game")["a1"]) + \
+        np.asarray(hg2.nodes_data("game")["a2"])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_multi_update_all_udf_apply_node(hg):
+    hg.nodes_data("user")["h"] = jnp.ones((4, 2))
+    hg.nodes_data("developer")["h"] = 2 * jnp.ones((2, 2))
+    hg.multi_update_all({
+        "plays": (fn.copy_u("h", "m"), fn.sum("m", "agg")),
+        "develops": (fn.copy_u("h", "m"), fn.sum("m", "agg")),
+    }, "sum", apply_node_func=lambda nodes: {"agg": nodes.data["agg"] * 10})
+    out = np.asarray(hg.nodes_data("game")["agg"])
+    np.testing.assert_allclose(out, [[40.0, 40.0], [40.0, 40.0]])

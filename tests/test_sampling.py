@@ -133,6 +133,24 @@ def test_weighted_sampling_bias(g, rng):
     assert counts[0] > 3 * counts[1], counts
 
 
+def test_weighted_sampling_with_replacement(g, rng):
+    """Weighted + replace path (inverse-CDF over per-seed weight prefix
+    sums; reference: ArrayHeap sampling, src/graph/sampler.cc:28)."""
+    s, d = g.host_edges()
+    prob = np.where(s % 2 == 0, 10.0, 0.1).astype(np.float32)
+    counts = np.zeros(2)
+    for t in range(30):
+        frontier, eids = sample_neighbors(
+            g, np.arange(50), 3, replace=True, prob=prob,
+            rng=np.random.default_rng(t))
+        fs, fd = frontier.host_edges()
+        counts[0] += (fs % 2 == 0).sum()
+        counts[1] += (fs % 2 == 1).sum()
+        # sampled edges must be real edges of g with matching endpoints
+        assert np.all(s[eids] == fs) and np.all(d[eids] == fd)
+    assert counts[0] > 3 * counts[1], counts
+
+
 def test_graph_dataloader(rng):
     from dgl_hack_tpu.data import sbm_mixture
     from dgl_hack_tpu.sampling import GraphDataLoader
