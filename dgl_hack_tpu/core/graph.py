@@ -349,7 +349,8 @@ class Graph:
 # ---------------------------------------------------------------------------
 def _build(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
            *, is_block: bool, build_csr: bool = True,
-           edge_mask: Optional[np.ndarray] = None) -> Graph:
+           edge_mask: Optional[np.ndarray] = None,
+           force_perm: bool = False) -> Graph:
     E = src.shape[0]
     # id-width ceiling: every index is int32 on-device (512 B gather rows
     # want narrow ids; see KERNELS.md).  The reference carries 32/64-bit
@@ -369,9 +370,13 @@ def _build(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
     if E and (dst.min(initial=0) < 0 or dst.max(initial=-1) >= num_dst):
         raise ValueError("dst ids out of range")
 
-    # canonical internal order: stable sort by dst (CSC order)
+    # canonical internal order: stable sort by dst (CSC order).
+    # force_perm keeps identity permutations even when input is already
+    # sorted, so padded minibatch blocks are structurally uniform (one
+    # pytree shape -> one jit cache entry, stackable across devices).
     perm = np.argsort(dst, kind="stable").astype(np.int32)
-    already_sorted = bool(np.all(perm == np.arange(E, dtype=np.int32)))
+    already_sorted = (not force_perm) and \
+        bool(np.all(perm == np.arange(E, dtype=np.int32)))
     s_src, s_dst = src[perm], dst[perm]
     csc_indptr = np.zeros(num_dst + 1, dtype=np.int32)
     np.cumsum(np.bincount(s_dst, minlength=num_dst), out=csc_indptr[1:])

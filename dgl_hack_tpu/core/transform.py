@@ -242,12 +242,17 @@ def to_block(frontier: Graph, dst_nodes: Optional[np.ndarray] = None,
 
     num_src = n_src if pad_num_src is None else max(pad_num_src, n_src)
     mask = None
-    if pad_num_edges is not None and pad_num_edges > E:
-        pad = pad_num_edges - E
+    if pad_num_edges is not None:
+        # always carry a mask (and identity perms, via force_perm) when
+        # padding was requested, even at exact fit — padded blocks stay
+        # structurally uniform across batches/devices (stackable pytrees,
+        # single jit cache entry)
+        pad = max(pad_num_edges - E, 0)
         bs = np.concatenate([bs, np.zeros(pad, np.int32)])
         bd = np.concatenate([bd, np.zeros(pad, np.int32)])
         mask = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
-    blk = _build(bs, bd, num_src, n_dst, is_block=True, edge_mask=mask)
+    blk = _build(bs, bd, num_src, n_dst, is_block=True, edge_mask=mask,
+                 force_perm=pad_num_edges is not None)
     if pad_num_src is not None and num_src > n_src:
         src_ids = np.concatenate(
             [src_ids, np.zeros(num_src - n_src, np.int32)])

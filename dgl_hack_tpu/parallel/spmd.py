@@ -94,6 +94,84 @@ def shard_rows(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P("node")))
 
 
+def stack_shards(trees):
+    """Stack per-device pytrees (identical structure/static shapes) along
+    a new leading device axis — e.g. the per-device block lists of a
+    multi-chip sampled minibatch."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *trees)
+
+
+def sample_sharded_batch(g: Graph, sampler, seed_shards, features,
+                         labels):
+    """Host-side: sample one padded block stack per device and stack them.
+
+    ``seed_shards`` is a (P, B) array of seed node ids (one row per
+    device).  Returns (blocks_stacked, x_stacked, labels_stacked) ready
+    for ``make_sampled_dp_step``.  Static shapes are guaranteed because
+    the sampler pads every layer (sampling/neighbor.py
+    MultiLayerNeighborSampler), so all devices share one jit cache entry.
+
+    Reference: examples/pytorch/graphsage/train_sampling_multi_gpu.py —
+    there each GPU process runs its own DataLoader; here one host feeds
+    the mesh.
+    """
+    per_dev = []
+    for seeds in seed_shards:
+        blocks, input_nodes, seeds_out = sampler.sample_blocks(g, seeds)
+        x = jnp.asarray(np.asarray(features)[input_nodes])
+        y = jnp.asarray(np.asarray(labels)[seeds_out])
+        per_dev.append((blocks, x, y))
+    blocks = stack_shards([b for b, _, _ in per_dev])
+    xs = jnp.stack([x for _, x, _ in per_dev])
+    ys = jnp.stack([y for _, _, y in per_dev])
+    return blocks, xs, ys
+
+
+def make_sampled_dp_step(model, tx, mesh: Mesh, axis: str = "node"):
+    """Multi-chip sampled-minibatch training: seeds sharded across the
+    mesh, one padded block stack per device, gradients psum'd over ICI —
+    the compiled successor of the reference's multi-GPU sampled GraphSAGE
+    (examples/pytorch/graphsage/train_sampling_multi_gpu.py: per-process
+    DataLoader + DDP allreduce).
+
+    step(params, opt_state, blocks_stacked, x_stacked, labels_stacked)
+    -> (params, opt_state, mean_loss).  blocks_stacked is a per-layer
+    list of block Graphs whose every leaf has a leading device dim (see
+    ``stack_shards``).
+    """
+    import optax as _optax
+    from jax.sharding import PartitionSpec as _P
+
+    def local_loss(params, blocks, x, labels):
+        blocks = jax.tree.map(lambda a: a[0], blocks)
+        x, labels = x[0], labels[0]
+
+        def loss_fn(p):
+            logits = model.apply(p, blocks, x)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(
+                logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+            return nll.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axis)
+        return loss, grads
+
+    mapped = jax.shard_map(local_loss, mesh=mesh,
+                           in_specs=(_P(), _P(axis), _P(axis), _P(axis)),
+                           out_specs=(_P(), _P()))
+
+    @jax.jit
+    def step(params, opt_state, blocks, x, labels):
+        loss, grads = mapped(params, blocks, x, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return _optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
 def make_spmd_train_step(model, tx, mesh: Mesh, model_args: tuple = ()):
     """Jitted full training step over the mesh: forward (sharded gather +
     segment reduce), masked CE loss, adamw update."""

@@ -225,3 +225,24 @@ def test_train_pointcloud_example(capsys):
                        ["--epochs", "8", "--clouds", "30"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["test_acc"] > 0.6
+
+
+def test_train_rgcn_hetero_example(capsys):
+    """Multi-ntype RGCN through multi_update_all (reference:
+    examples/pytorch/rgcn-hetero/entity_classify.py)."""
+    import json
+    out = _run_example("examples/train_rgcn_hetero.py",
+                       ["--epochs", "40", "--papers", "300"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.8
+
+
+def test_train_sage_cv_example(capsys):
+    """Control-variate sampled GraphSAGE (reference:
+    examples/pytorch/graphsage/train_cv.py)."""
+    import json
+    out = _run_example("examples/train_sage_cv.py",
+                       ["--epochs", "10", "--nodes", "1500",
+                        "--batch-size", "128"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.75

@@ -133,3 +133,208 @@ def test_spatial_train_step_learns(mesh, rng=np.random.default_rng(3)):
                                            labels, mask)
             losses.append(float(loss))
     assert losses[-1] < 0.5 * losses[0], losses[::10]
+
+
+def _rand_graph(rng, n, e):
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    return dgl.graph((src, dst), num_nodes=n)
+
+
+@pytest.mark.parametrize("reduce_op", ["sum", "mean", "max", "min"])
+def test_halo_gspmm_overlap_reducers(mesh, reduce_op,
+                                     rng=np.random.default_rng(4)):
+    """Overlap-split halo gspmm (local edges reduce while the all_to_all
+    is in flight) must match the single-device reducer exactly, including
+    max/min identity handling on one-sided dsts."""
+    n, e, F = 150, 900, 8
+    g = _rand_graph(rng, n, e)
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    plan = build_spatial_plan(g, 8, method="random", seed=0)
+    dev = plan.device_arrays()
+    xs = jnp.asarray(shard_features(plan, x))
+    halo_fn = make_halo_gspmm(plan, mesh, reduce_op=reduce_op, overlap=True)
+    with mesh:
+        out_sh = jax.jit(halo_fn)(xs, dev)
+    out = unshard_rows(plan, np.asarray(out_sh), n)
+    ref = np.asarray(dgl.gspmm(g, "copy_lhs", reduce_op, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_gspmm_weighted_u_mul_e(mesh, rng=np.random.default_rng(5)):
+    """Per-edge weights in split plan order (u_mul_e sum) — the halo path
+    the reference serves via KVStore pulls for weighted aggregation."""
+    from dgl_hack_tpu.parallel import shard_edata
+    n, e, F = 120, 700, 8
+    g = _rand_graph(rng, n, e)
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    w = rng.normal(size=(e,)).astype(np.float32)
+    plan = build_spatial_plan(g, 8, method="random", seed=0)
+    dev = plan.device_arrays()
+    w_l, w_r = shard_edata(plan, w, layout="split")
+    halo_fn = make_halo_gspmm(plan, mesh, reduce_op="sum", weighted=True,
+                              overlap=True)
+    xs = jnp.asarray(shard_features(plan, x))
+    with mesh:
+        out_sh = jax.jit(halo_fn)(xs, dev, jnp.asarray(w_l),
+                                  jnp.asarray(w_r))
+    out = unshard_rows(plan, np.asarray(out_sh), n)
+    w_int = w if g.int2user is None else w[np.asarray(g.int2user)]
+    ref = np.asarray(dgl.gspmm(g, "mul", "sum", jnp.asarray(x),
+                               jnp.asarray(w_int)[:, None], "u", "e"))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_gat_matches_single(mesh, rng=np.random.default_rng(6)):
+    """Distributed 2-layer GAT (halo exchange + LOCAL edge_softmax) ==
+    single-device GATConv stack with the same params, fwd AND grad."""
+    from dgl_hack_tpu.nn import GATConv
+    from dgl_hack_tpu.parallel import make_spatial_gat
+    n, e, F, H, C = 120, 700, 10, 6, 4
+    g = _rand_graph(rng, n, e)
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    plan = build_spatial_plan(g, 8, method="random", seed=0)
+    dev = plan.device_arrays()
+    init, fwd = make_spatial_gat(plan, mesh, hidden=H, out_feats=C,
+                                 heads=(4, 1))
+    params = init(jax.random.PRNGKey(0), F)
+    xs = jnp.asarray(shard_features(plan, x))
+    with mesh:
+        got_sh = jax.jit(fwd)(params, xs, dev)
+    got = unshard_rows(plan, np.asarray(got_sh), n)
+
+    # single-device oracle with the SAME params: bipartite (x, x) feeds
+    # the same fc_src/fc_dst kernels
+    l1 = GATConv(out_feats=H, num_heads=4)
+    l2 = GATConv(out_feats=C, num_heads=1)
+    h = l1.apply(params["l1"], g, (jnp.asarray(x), jnp.asarray(x)))
+    h = jax.nn.elu(h).reshape(n, -1)
+    ref = l2.apply(params["l2"], g, (h, h)).mean(axis=1)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    # grads wrt params must match too (DDP equivalence through shard_map)
+    def loss_sh(p):
+        return (jax.jit(fwd)(p, xs, dev) ** 2).sum()
+
+    def loss_ref(p):
+        hh = l1.apply(p["l1"], g, (jnp.asarray(x), jnp.asarray(x)))
+        hh = jax.nn.elu(hh).reshape(n, -1)
+        return (l2.apply(p["l2"], g, (hh, hh)).mean(axis=1) ** 2).sum()
+
+    with mesh:
+        g_sh = jax.grad(loss_sh)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    flat_sh = jax.tree_util.tree_leaves(g_sh)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    for a, b in zip(flat_sh, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_spatial_rgcn_matches_single(mesh, rng=np.random.default_rng(7)):
+    """Distributed R-GCN with per-etype typing through the plan =="""
+    from dgl_hack_tpu.nn import RelGraphConv
+    from dgl_hack_tpu.parallel import make_spatial_rgcn, shard_edata
+    n, e, F, H, C, R = 100, 600, 8, 12, 3, 5
+    g = _rand_graph(rng, n, e)
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    etypes = rng.integers(0, R, e).astype(np.int32)
+    plan = build_spatial_plan(g, 8, method="random", seed=0)
+    dev = plan.device_arrays()
+    init, fwd = make_spatial_rgcn(plan, mesh, hidden=H, out_feats=C,
+                                  num_rels=R, num_bases=3)
+    params = init(jax.random.PRNGKey(0), F)
+    xs = jnp.asarray(shard_features(plan, x))
+    ets = jnp.asarray(shard_edata(plan, etypes))
+    with mesh:
+        got_sh = jax.jit(fwd)(params, xs, dev, ets)
+    got = unshard_rows(plan, np.asarray(got_sh), n)
+
+    l1 = RelGraphConv(out_feats=H, num_rels=R, num_bases=3)
+    l2 = RelGraphConv(out_feats=C, num_rels=R, num_bases=3)
+    h = l1.apply(params["l1"], g, jnp.asarray(x), jnp.asarray(etypes))
+    h = jax.nn.relu(h)
+    ref = l2.apply(params["l2"], g, h, jnp.asarray(etypes))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_spatial_gat_train_step_learns(mesh):
+    import optax
+    from dgl_hack_tpu.data import planted_partition
+    from dgl_hack_tpu.parallel import make_spatial_gat, spatial_train_step
+    ds = planted_partition(160, 4, 12, avg_degree=6.0, homophily=0.9,
+                           feat_noise=1.0, seed=0, train_per_class=15,
+                           num_val=20, num_test=40)
+    plan = build_spatial_plan(ds.graph, 8, method="random", seed=0)
+    dev = plan.device_arrays()
+    init, fwd = make_spatial_gat(plan, mesh, hidden=8, out_feats=4,
+                                 heads=(4, 1))
+    params = init(jax.random.PRNGKey(0), 12)
+    tx = optax.adam(1e-2)
+    step = spatial_train_step(fwd, tx)
+    xs = jnp.asarray(shard_features(plan, ds.features))
+    labels = jnp.asarray(shard_features(plan, ds.labels))
+    mask = jnp.asarray(shard_features(plan, ds.train_mask))
+    losses = []
+    opt_state = tx.init(params)
+    with mesh:
+        for _ in range(30):
+            params, opt_state, loss = step(params, opt_state, xs, dev,
+                                           labels, mask)
+            losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], losses[::10]
+
+
+def test_sampled_dp_sage_multichip(mesh, rng=np.random.default_rng(8)):
+    """Multi-chip sampled-minibatch GraphSAGE: seeds sharded across the
+    mesh, per-device padded block stacks, psum'd grads == the mean of
+    per-device single-chip losses/grads (reference:
+    examples/pytorch/graphsage/train_sampling_multi_gpu.py)."""
+    import optax
+    from dgl_hack_tpu.models import GraphSAGE
+    from dgl_hack_tpu.sampling import MultiLayerNeighborSampler
+    from dgl_hack_tpu.parallel.spmd import (make_sampled_dp_step,
+                                            sample_sharded_batch)
+    n, e, F, C, B = 300, 2400, 8, 4, 16
+    g = _rand_graph(rng, n, e)
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    y = rng.integers(0, C, n).astype(np.int32)
+    model = GraphSAGE(hidden_feats=8, out_feats=C, num_layers=2,
+                      dropout=0.0)
+    sampler = MultiLayerNeighborSampler([3, 3], replace=True, pad=True,
+                                        seed=0)
+    seed_shards = rng.integers(0, n, (8, B)).astype(np.int32)
+    blocks, xs, ys = sample_sharded_batch(g, sampler, seed_shards, x, y)
+
+    params = model.init(jax.random.PRNGKey(0), 
+                        jax.tree.map(lambda a: a[0], blocks), xs[0])
+    tx = optax.adam(1e-2)
+    step = make_sampled_dp_step(model, tx, mesh)
+    with mesh:
+        new_params, opt_state, loss = step(params, tx.init(params), blocks,
+                                           xs, ys)
+    loss = float(loss)
+
+    # single-device oracle: mean of per-device losses
+    def dev_loss(p, i):
+        blk = jax.tree.map(lambda a: a[i], blocks)
+        logits = model.apply(p, blk, xs[i])
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.take_along_axis(
+            logp, ys[i][..., None].astype(jnp.int32), axis=-1).mean()
+
+    ref_losses = [float(dev_loss(params, i)) for i in range(8)]
+    np.testing.assert_allclose(loss, np.mean(ref_losses), rtol=1e-5)
+
+    def total(p):
+        return sum(dev_loss(p, i) for i in range(8)) / 8.0
+
+    g_ref = jax.grad(total)(params)
+    # grads: recompute through the dp step's mapped fn by finite update
+    # equivalence — instead compare updated params directions
+    upd_ref, _ = tx.update(g_ref, tx.init(params), params)
+    p_ref = optax.apply_updates(params, upd_ref)
+    for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -1,0 +1,140 @@
+"""Scaling-evidence harness for the spatial (halo-exchange) training path
+(BASELINE.json: >=80% edges/s scaling efficiency to a v5p-16 slice).
+
+Runs the spatial halo gspmm step at P = 1/2/4/8 partitions and prints ONE
+JSON line per P with:
+  * edges/s (timed with the two-length fori_loop trick — per-call wall
+    timing lies over async dispatch)
+  * bytes moved by the all_to_all per step (send rows x feature bytes)
+  * padding factors: edge padding (e_max*P / E) and halo padding
+    (s_max*P^2 / real halo rows) — the quantities VERDICT r1 flagged as
+    unanalysed (parallel/halo.py pads every pair to the global max)
+  * the partition edge-cut
+
+plus a fennel-vs-random comparison block on a clustered graph (reference:
+METIS cut logging, src/graph/metis_partition.cc:50-53).
+
+Where it runs:
+  * CPU mesh (default here): `JAX_PLATFORMS=cpu XLA_FLAGS=
+    --xla_force_host_platform_device_count=8 python tools/scaling.py`
+    — correctness + padding/byte accounting + scaling TREND (CPU
+    collectives are loopback memcpy, so efficiency numbers are
+    indicative only).
+  * Real pod: launch one process per host with jax.distributed
+    bootstrapped (distributed/bootstrap.py initialize_from_env), same
+    flags; edges/s and efficiency become real.
+"""
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def _mesh(p):
+    import jax
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()[:p]), ("node",))
+
+
+def run_spatial(g, x, p, method, reps=3, k_lo=2, k_hi=8):
+    import jax
+    import jax.numpy as jnp
+    from dgl_hack_tpu.parallel import (build_spatial_plan, make_halo_gspmm,
+                                       shard_features)
+
+    plan = build_spatial_plan(g, p, method=method, seed=0)
+    dev = plan.device_arrays()
+    xs = jnp.asarray(shard_features(plan, x))
+    mesh = _mesh(p)
+    halo_fn = make_halo_gspmm(plan, mesh, reduce_op="sum", overlap=True)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def loop(xs_, dev_, iters):
+        def body(i, h):
+            return halo_fn(h, dev_) * 1e-3
+        return jax.lax.fori_loop(0, iters, body, xs_)[0, 0, 0]
+
+    def timed(k):
+        with mesh:
+            float(loop(xs, dev, k))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(loop(xs, dev, k))
+                best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+    st = plan.stats()
+    F = x.shape[1]
+    return {
+        "P": p,
+        "method": method,
+        "edges_per_s": round(g.num_edges() / dt),
+        "step_ms": round(dt * 1e3, 3),
+        "a2a_bytes_per_step": int(plan.num_parts ** 2 * plan.s_max * F * 4),
+        "a2a_real_rows": st["halo_rows_real"],
+        "edge_pad_factor": round(st["edge_pad_factor"], 3),
+        "halo_pad_factor": round(st["halo_pad_factor"], 3),
+        "cut_fraction": round(st["cut_fraction"], 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=20000)
+    ap.add_argument("--avg-degree", type=float, default=16.0)
+    ap.add_argument("--feats", type=int, default=128)
+    ap.add_argument("--parts", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument("--method", default="fennel")
+    ap.add_argument("--clustered-nodes", type=int, default=100000,
+                    help="size of the fennel-vs-random comparison graph")
+    ap.add_argument("--skip-compare", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    from dgl_hack_tpu.data import planted_partition, random_power_law_graph
+
+    g = random_power_law_graph(args.nodes, avg_degree=args.avg_degree,
+                               alpha=2.1, seed=0)
+    x = np.random.default_rng(0).normal(
+        size=(args.nodes, args.feats)).astype(np.float32)
+
+    results = []
+    base = None
+    for p in args.parts:
+        if p > len(jax.devices()):
+            continue
+        r = run_spatial(g, x, p, args.method)
+        if base is None:
+            base = r["edges_per_s"] / r["P"]
+        r["scaling_efficiency"] = round(
+            r["edges_per_s"] / (r["P"] * base), 4)
+        results.append(r)
+        print(json.dumps(r))
+
+    if not args.skip_compare:
+        # fennel vs random on a CLUSTERED graph: cut quality + the padding
+        # it buys (VERDICT r1 weak #8 — the dryrun used method=random)
+        from dgl_hack_tpu.parallel import build_spatial_plan
+        ds = planted_partition(args.clustered_nodes, 8, 8, avg_degree=12.0,
+                               homophily=0.9, seed=0, train_per_class=8)
+        # NB: partition seed != dataset seed — with equal seeds the
+        # 'random' partition's first rng draw coincides with the planted
+        # community draw and "random" silently recovers the ground truth
+        for method in ("random", "fennel"):
+            plan = build_spatial_plan(ds.graph, 8, method=method, seed=7)
+            st = plan.stats()
+            print(json.dumps({
+                "compare": method, "nodes": args.clustered_nodes,
+                "cut_fraction": round(st["cut_fraction"], 4),
+                "halo_rows_real": st["halo_rows_real"],
+                "halo_pad_factor": round(st["halo_pad_factor"], 3),
+                "edge_pad_factor": round(st["edge_pad_factor"], 3),
+            }))
+
+
+if __name__ == "__main__":
+    main()
