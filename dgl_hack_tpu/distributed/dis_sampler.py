@@ -111,21 +111,52 @@ class SamplerReceiver:
         self.net.close()
 
 
-class SamplerPool:
-    """Run ``num_workers`` sampling threads, each executing
-    ``worker_fn(worker_id, sender)`` to completion, then end-signal
-    (reference: dis_sampler.py SamplerPool — forked processes there;
-    threads here since the numpy/native samplers release the GIL)."""
+def _process_worker_bootstrap(worker_fn, i):
+    """Module-level spawn target: pin the child to the CPU backend BEFORE
+    any jax-importing module loads (two processes on one TPU chip wedge
+    the device — CLAUDE.md), then run the user's worker."""
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    worker_fn(i)
 
-    def __init__(self, num_workers: int, worker_fn: Callable[[int], None]):
-        self.threads = [threading.Thread(target=worker_fn, args=(i,),
-                                         daemon=True)
-                        for i in range(num_workers)]
+
+class SamplerPool:
+    """Run ``num_workers`` sampling workers, each executing
+    ``worker_fn(worker_id)`` to completion, then end-signal
+    (reference: dis_sampler.py SamplerPool — forked processes there).
+
+    mode='thread' (default): threads — the numpy/native samplers release
+    the GIL.  mode='process': spawned processes like the reference;
+    ``worker_fn`` must be picklable (module-level) and build its own
+    transport/graph (spawn semantics), and children are pinned to the
+    CPU jax backend (one TPU process at a time)."""
+
+    def __init__(self, num_workers: int, worker_fn: Callable[[int], None],
+                 mode: str = "thread"):
+        if mode == "thread":
+            self.workers = [threading.Thread(target=worker_fn, args=(i,),
+                                             daemon=True)
+                            for i in range(num_workers)]
+        elif mode == "process":
+            import multiprocessing as mp
+            ctx = mp.get_context("spawn")
+            self.workers = [
+                ctx.Process(target=_process_worker_bootstrap,
+                            args=(worker_fn, i), daemon=True)
+                for i in range(num_workers)]
+        else:
+            raise ValueError(mode)
 
     def start(self) -> None:
-        for t in self.threads:
+        for t in self.workers:
             t.start()
 
     def join(self, timeout: Optional[float] = None) -> None:
-        for t in self.threads:
+        for t in self.workers:
             t.join(timeout)
+
+    @property
+    def threads(self):     # backward-compat alias
+        return self.workers

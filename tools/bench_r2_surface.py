@@ -1,0 +1,106 @@
+"""Round-2 perf surface measurement: where do the VERDICT-flagged paths
+stand on the real chip?
+
+Covers: copy_u sum/max/min (hybrid vs composed), u_mul_e wide-F chunked,
+u_add_v / u_dot_v gsddmm composed, fused GAT ns/edge.  One process, one
+JSON line per case.
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, *args, k_lo=2, k_hi=8, reps=3):
+    import jax
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def loop(iters, *a):
+        def body(i, h):
+            return fn(h, *a[1:]) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, a[0]).ravel()[0]
+
+    def t(k):
+        float(loop(k, *args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(k, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (t(k_hi) - t(k_lo)) / (k_hi - k_lo)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.data import random_power_law_graph
+
+    N, F = 1_000_000, 128
+    g0 = random_power_law_graph(N, avg_degree=16.0, alpha=2.1, seed=0)
+    E = g0.num_edges()
+    gp = dgl.prepare_spmm(g0, te=64, weighted=False)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(N, F)).astype(np.float32))
+
+    def report(name, dt, edges=E):
+        print(json.dumps({"case": name, "ms": round(dt * 1e3, 2),
+                          "ns_per_edge": round(dt * 1e9 / edges, 2),
+                          "medges_per_s": round(edges / dt / 1e6, 1)}))
+
+    # 1. headline hybrid copy_u sum (sanity anchor)
+    report("copy_u_sum_hybrid",
+           timed(lambda h: dgl.gspmm(gp, "copy_lhs", "sum", h), x))
+    # 2. composed XLA max / min (no Pallas route today)
+    report("copy_u_max_composed",
+           timed(lambda h: dgl.gspmm(g0, "copy_lhs", "max", h), x))
+    report("copy_u_sum_composed",
+           timed(lambda h: dgl.gspmm(g0, "copy_lhs", "sum", h), x))
+    # 3. gsddmm composed: u_add_v (full F) and u_dot_v
+    from dgl_hack_tpu.ops.sddmm import gsddmm
+    report("u_add_v_composed",
+           timed(lambda h: gsddmm(g0, "add", h, h, "u", "v")[:N], x))
+    report("u_dot_v_composed",
+           timed(lambda h: jnp.broadcast_to(
+               gsddmm(g0, "dot", h, h, "u", "v")[:N], h.shape), x))
+
+    # 4. wide-feature u_mul_e chunked state (bf16 packed path)
+    F2 = 512
+    xw = jnp.asarray(np.random.default_rng(1).normal(
+        size=(N, F2)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(np.random.default_rng(2).normal(
+        size=(E, 1)).astype(np.float32))
+    gpw = dgl.prepare_spmm(g0, te=256, weighted=True, flat_width=F2)
+    report("u_mul_e_f512_bf16_plan",
+           timed(lambda h: dgl.gspmm(gpw, "mul", "sum", h, w, "u", "e")
+                 .astype(jnp.bfloat16), xw))
+
+    # 5. fused GAT fwd ns/edge at the r1-measured shape
+    N3, H, D = 500_000, 8, 64
+    g3 = random_power_law_graph(N3, avg_degree=16.0, alpha=2.1, seed=1)
+    E3 = g3.num_edges()
+    g3p = dgl.prepare_spmm(g3, te=256, weighted=False)
+    from dgl_hack_tpu.ops.gat import gat_attention
+    rng = np.random.default_rng(3)
+    fsrc = jnp.asarray(rng.normal(size=(N3, H, D)).astype(np.float32))
+    el = jnp.asarray(rng.normal(size=(N3, H)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(N3, H)).astype(np.float32))
+
+    def gat_step(f):
+        return gat_attention(g3p, f, el, er, 0.2)
+
+    dt = timed(gat_step, fsrc)
+    print(json.dumps({"case": "fused_gat_fwd", "ms": round(dt * 1e3, 2),
+                      "ns_per_edge": round(dt * 1e9 / E3, 2),
+                      "E": E3}))
+
+
+if __name__ == "__main__":
+    main()
