@@ -1,6 +1,8 @@
 from .prefetch import ThreadedPrefetcher, prefetch_to_device  # noqa: F401
 from .bootstrap import initialize_from_env, read_ip_config  # noqa: F401
-from .feature_store import FeatureStore  # noqa: F401
+from .feature_store import (  # noqa: F401
+    FeatureStore, attach_shared_graph, save_shared_graph,
+)
 from .kvstore import (  # noqa: F401
     KVServer, KVClient, NativeTransport, LoopbackTransport, make_transports,
 )

@@ -57,3 +57,57 @@ class FeatureStore:
 
     def __getitem__(self, name):
         return self._arrays[name]
+
+
+# ---------------------------------------------------------------------------
+# shared graph STRUCTURE store (reference: ImmutableGraph::CopyToSharedMem,
+# include/dgl/immutable_graph.h:942 + SharedMemoryDGLGraph workers,
+# contrib/graph_store.py:517)
+# ---------------------------------------------------------------------------
+_GRAPH_FIELDS = ("src", "dst", "csc_indptr", "csr_indptr", "csr_eids",
+                 "int2user", "user2int")
+
+
+def save_shared_graph(prefix: str, g) -> Dict[str, str]:
+    """Write the graph's structure arrays as .npy files for multi-process
+    page sharing (the mmap analogue of the reference's named-shm CSR).
+    Returns {field: path} plus a 'meta' entry."""
+    import json
+    paths: Dict[str, str] = {}
+    for f in _GRAPH_FIELDS:
+        v = getattr(g, f)
+        if v is not None:
+            paths[f] = f"{prefix}.{f}.npy"
+            np.save(paths[f], g.host(f) if hasattr(g, "host")
+                    else np.asarray(v))
+    meta_path = f"{prefix}.graphmeta.json"
+    with open(meta_path, "w") as fh:
+        json.dump({"num_src": g.num_src_nodes, "num_dst": g.num_dst_nodes,
+                   "is_block": g.is_block,
+                   "fields": sorted(paths)}, fh)
+    paths["meta"] = meta_path
+    return paths
+
+
+def attach_shared_graph(prefix: str):
+    """Attach to a saved graph WITHOUT copying: every structure array is a
+    read-only mmap, shared page-cache across sampler processes (the
+    SharedMemoryDGLGraph worker role).  The returned Graph is host-backed
+    (numpy fields + primed host cache) — exactly what samplers, planners
+    and transforms consume; move to device with jnp.asarray when needed."""
+    import json
+    from ..core.graph import Graph
+    with open(f"{prefix}.graphmeta.json") as fh:
+        meta = json.load(fh)
+    arrays = {f: np.load(f"{prefix}.{f}.npy", mmap_mode="r")
+              for f in meta["fields"]}
+    g = Graph(num_src=meta["num_src"], num_dst=meta["num_dst"],
+              is_block=meta["is_block"],
+              src=arrays["src"], dst=arrays["dst"],
+              csc_indptr=arrays["csc_indptr"],
+              csr_indptr=arrays.get("csr_indptr"),
+              csr_eids=arrays.get("csr_eids"),
+              int2user=arrays.get("int2user"),
+              user2int=arrays.get("user2int"))
+    object.__setattr__(g, "_np_cache", dict(arrays))
+    return g

@@ -157,3 +157,51 @@ def test_sampler_pool_process_mode(monkeypatch):
         assert seeds.shape == (10,)
         assert np.asarray(blocks[0].csc_indptr)[-1] == \
             blocks[0].num_edges()
+
+
+# ---------------------------------------------------------------------------
+# shared graph structure across processes (reference:
+# ImmutableGraph::CopyToSharedMem + SharedMemoryDGLGraph workers)
+# ---------------------------------------------------------------------------
+def _shared_graph_worker(args):
+    prefix, seeds = args
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dgl_hack_tpu.distributed import attach_shared_graph
+    from dgl_hack_tpu.sampling import sample_neighbors
+    g = attach_shared_graph(prefix)
+    # structure arrays must be read-only mmaps (shared pages, no copy)
+    assert not g.host("src").flags.writeable
+    frontier, eids = sample_neighbors(
+        g, seeds, 3, replace=True, rng=np.random.default_rng(0))
+    fs, fd = frontier.host_edges()
+    return np.asarray(fs), np.asarray(fd), np.asarray(eids)
+
+
+def test_shared_graph_multiprocess(tmp_path):
+    """Parent saves the graph structure once; spawned sampler workers
+    attach via mmap (no copy) and sample identically to the parent."""
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.distributed import save_shared_graph
+    from dgl_hack_tpu.sampling import sample_neighbors
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 80, 600).astype(np.int32)
+    dst = rng.integers(0, 80, 600).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=80)
+    prefix = str(tmp_path / "g")
+    save_shared_graph(prefix, g)
+
+    seeds = np.arange(20)
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(2) as pool:
+        results = pool.map(_shared_graph_worker,
+                           [(prefix, seeds)] * 2)
+    ref_f, ref_e = sample_neighbors(g, seeds, 3, replace=True,
+                                    rng=np.random.default_rng(0))
+    rs, rd = ref_f.host_edges()
+    for fs, fd, eids in results:
+        np.testing.assert_array_equal(fs, rs)
+        np.testing.assert_array_equal(fd, rd)
+        np.testing.assert_array_equal(eids, np.asarray(ref_e))

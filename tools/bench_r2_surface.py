@@ -38,6 +38,13 @@ def timed(fn, *args, k_lo=2, k_hi=8, reps=3):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", required=True,
+                    choices=["hybrid", "max", "sum_xla", "u_add_v",
+                             "u_dot_v", "wide", "gat"])
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     import dgl_hack_tpu as dgl
@@ -46,60 +53,60 @@ def main():
     N, F = 1_000_000, 128
     g0 = random_power_law_graph(N, avg_degree=16.0, alpha=2.1, seed=0)
     E = g0.num_edges()
-    gp = dgl.prepare_spmm(g0, te=64, weighted=False)
-    x = jnp.asarray(np.random.default_rng(0)
-                    .normal(size=(N, F)).astype(np.float32))
 
     def report(name, dt, edges=E):
         print(json.dumps({"case": name, "ms": round(dt * 1e3, 2),
                           "ns_per_edge": round(dt * 1e9 / edges, 2),
                           "medges_per_s": round(edges / dt / 1e6, 1)}))
 
-    # 1. headline hybrid copy_u sum (sanity anchor)
-    report("copy_u_sum_hybrid",
-           timed(lambda h: dgl.gspmm(gp, "copy_lhs", "sum", h), x))
-    # 2. composed XLA max / min (no Pallas route today)
-    report("copy_u_max_composed",
-           timed(lambda h: dgl.gspmm(g0, "copy_lhs", "max", h), x))
-    report("copy_u_sum_composed",
-           timed(lambda h: dgl.gspmm(g0, "copy_lhs", "sum", h), x))
-    # 3. gsddmm composed: u_add_v (full F) and u_dot_v
-    from dgl_hack_tpu.ops.sddmm import gsddmm
-    report("u_add_v_composed",
-           timed(lambda h: gsddmm(g0, "add", h, h, "u", "v")[:N], x))
-    report("u_dot_v_composed",
-           timed(lambda h: jnp.broadcast_to(
-               gsddmm(g0, "dot", h, h, "u", "v")[:N], h.shape), x))
+    if args.case in ("hybrid", "max", "sum_xla", "u_add_v", "u_dot_v"):
+        x = jnp.asarray(np.random.default_rng(0)
+                        .normal(size=(N, F)).astype(np.float32))
+    if args.case == "hybrid":
+        gp = dgl.prepare_spmm(g0, te=64, weighted=False)
+        report("copy_u_sum_hybrid",
+               timed(lambda h: dgl.gspmm(gp, "copy_lhs", "sum", h), x))
+    elif args.case == "max":
+        report("copy_u_max_composed",
+               timed(lambda h: dgl.gspmm(g0, "copy_lhs", "max", h), x))
+    elif args.case == "sum_xla":
+        report("copy_u_sum_composed",
+               timed(lambda h: dgl.gspmm(g0, "copy_lhs", "sum", h), x))
+    elif args.case == "u_add_v":
+        from dgl_hack_tpu.ops.sddmm import gsddmm
+        report("u_add_v_composed",
+               timed(lambda h: gsddmm(g0, "add", h, h, "u", "v")[:N], x))
+    elif args.case == "u_dot_v":
+        from dgl_hack_tpu.ops.sddmm import gsddmm
+        report("u_dot_v_composed",
+               timed(lambda h: jnp.broadcast_to(
+                   gsddmm(g0, "dot", h, h, "u", "v")[:N], h.shape), x))
+    elif args.case == "wide":
+        F2 = 512
+        xw = jnp.asarray(np.random.default_rng(1).normal(
+            size=(N, F2)).astype(np.float32)).astype(jnp.bfloat16)
+        w = jnp.asarray(np.random.default_rng(2).normal(
+            size=(E, 1)).astype(np.float32))
+        gpw = dgl.prepare_spmm(g0, te=256, weighted=True, flat_width=F2)
+        report("u_mul_e_f512_bf16_plan",
+               timed(lambda h: dgl.gspmm(gpw, "mul", "sum", h, w, "u", "e")
+                     .astype(jnp.bfloat16), xw))
+    elif args.case == "gat":
+        N3, H, D = 500_000, 8, 64
+        g3 = random_power_law_graph(N3, avg_degree=16.0, alpha=2.1, seed=1)
+        E3 = g3.num_edges()
+        g3p = dgl.prepare_spmm(g3, te=256, weighted=False)
+        from dgl_hack_tpu.ops.gat import gat_attention
+        rng = np.random.default_rng(3)
+        fsrc = jnp.asarray(rng.normal(size=(N3, H, D)).astype(np.float32))
+        el = jnp.asarray(rng.normal(size=(N3, H)).astype(np.float32))
+        er = jnp.asarray(rng.normal(size=(N3, H)).astype(np.float32))
 
-    # 4. wide-feature u_mul_e chunked state (bf16 packed path)
-    F2 = 512
-    xw = jnp.asarray(np.random.default_rng(1).normal(
-        size=(N, F2)).astype(np.float32)).astype(jnp.bfloat16)
-    w = jnp.asarray(np.random.default_rng(2).normal(
-        size=(E, 1)).astype(np.float32))
-    gpw = dgl.prepare_spmm(g0, te=256, weighted=True, flat_width=F2)
-    report("u_mul_e_f512_bf16_plan",
-           timed(lambda h: dgl.gspmm(gpw, "mul", "sum", h, w, "u", "e")
-                 .astype(jnp.bfloat16), xw))
-
-    # 5. fused GAT fwd ns/edge at the r1-measured shape
-    N3, H, D = 500_000, 8, 64
-    g3 = random_power_law_graph(N3, avg_degree=16.0, alpha=2.1, seed=1)
-    E3 = g3.num_edges()
-    g3p = dgl.prepare_spmm(g3, te=256, weighted=False)
-    from dgl_hack_tpu.ops.gat import gat_attention
-    rng = np.random.default_rng(3)
-    fsrc = jnp.asarray(rng.normal(size=(N3, H, D)).astype(np.float32))
-    el = jnp.asarray(rng.normal(size=(N3, H)).astype(np.float32))
-    er = jnp.asarray(rng.normal(size=(N3, H)).astype(np.float32))
-
-    def gat_step(f):
-        return gat_attention(g3p, f, el, er, 0.2)
-
-    dt = timed(gat_step, fsrc)
-    print(json.dumps({"case": "fused_gat_fwd", "ms": round(dt * 1e3, 2),
-                      "ns_per_edge": round(dt * 1e9 / E3, 2),
-                      "E": E3}))
+        dt = timed(lambda f: gat_attention(g3p, f, el, er, 0.2), fsrc)
+        print(json.dumps({"case": "fused_gat_fwd",
+                          "ms": round(dt * 1e3, 2),
+                          "ns_per_edge": round(dt * 1e9 / E3, 2),
+                          "E": E3}))
 
 
 if __name__ == "__main__":
