@@ -246,3 +246,20 @@ def test_train_sage_cv_example(capsys):
                         "--batch-size", "128"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["test_acc"] > 0.75
+
+
+def test_train_tagcn_example(capsys):
+    import json
+    out = _run_example("examples/train_tagcn.py",
+                       ["--dataset", "synth", "--epochs", "60"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.8
+
+
+def test_train_ggnn_example(capsys):
+    import json
+    out = _run_example("examples/train_ggnn.py",
+                       ["--epochs", "20", "--graphs", "40",
+                        "--nodes", "20"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.85

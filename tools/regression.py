@@ -32,6 +32,9 @@ MATRIX = [
     ("train_appnp.py", ["--dataset", "synth", "--epochs", "40"]),
     ("train_sage_sampling.py", ["--num-epochs", "3"]),
     ("train_rgcn.py", ["--epochs", "30"]),
+    ("train_tagcn.py", ["--dataset", "synth", "--epochs", "60"]),
+    ("train_ggnn.py", ["--epochs", "20", "--graphs", "40",
+                       "--nodes", "20"]),
     ("train_rgcn_hetero.py", ["--epochs", "40", "--papers", "300"]),
     ("train_sage_cv.py", ["--epochs", "10", "--nodes", "1500",
                           "--batch-size", "128"]),
