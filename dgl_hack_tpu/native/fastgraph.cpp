@@ -24,6 +24,25 @@
 
 extern "C" {
 
+// Counter-based per-row RNG (splitmix64).  Each seed row draws from a
+// stream keyed on (global seed, row index), so the sample is a pure
+// function of (graph, seeds, seed) — identical across thread counts,
+// OpenMP schedules, and processes (multi-process sampler workers must
+// reproduce the trainer's stream; the reference gets this implicitly by
+// running one RNG per row batch in rowwise_pick.h).
+static inline uint64_t splitmix64(uint64_t* s) {
+  uint64_t z = (*s += 0x9E3779B97F4A7C15ULL);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+static inline uint64_t row_stream(uint64_t seed, int64_t row) {
+  uint64_t s = seed ^ (0xD1B54A32D192ED03ULL * (uint64_t)(row + 1));
+  (void)splitmix64(&s);  // burn one step to decorrelate nearby rows
+  return s;
+}
+
 // Sample up to `fanout` in-edges for each seed without replacement.
 // indptr (n+1), src (E): CSC arrays.  out_pos must hold seeds*fanout
 // entries; out_counts holds per-seed sample counts.  Returns total edges.
@@ -33,12 +52,7 @@ int64_t rowwise_sample(const int32_t* indptr, const int32_t* /*src*/,
                        int64_t* out_pos, int32_t* out_counts) {
 #pragma omp parallel
   {
-#if defined(_OPENMP)
-    const int tid = omp_get_thread_num();
-#else
-    const int tid = 0;
-#endif
-    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + tid);
+    std::vector<int64_t> res(fanout);
 #pragma omp for schedule(dynamic, 64)
     for (int64_t i = 0; i < num_seeds; ++i) {
       const int64_t lo = indptr[seeds[i]];
@@ -51,10 +65,10 @@ int64_t rowwise_sample(const int32_t* indptr, const int32_t* /*src*/,
       } else {
         // reservoir sampling (reference rowwise_pick.h uses the same
         // pattern for the without-replacement case)
-        std::vector<int64_t> res(fanout);
+        uint64_t s = row_stream(seed, i);
         for (int32_t j = 0; j < fanout; ++j) res[j] = lo + j;
         for (int64_t j = fanout; j < deg; ++j) {
-          const uint64_t k = rng() % static_cast<uint64_t>(j + 1);
+          const uint64_t k = splitmix64(&s) % static_cast<uint64_t>(j + 1);
           if (k < static_cast<uint64_t>(fanout)) res[k] = lo + j;
         }
         std::memcpy(out, res.data(), sizeof(int64_t) * fanout);
@@ -73,27 +87,19 @@ int64_t rowwise_sample_replace(const int32_t* indptr, const int32_t* seeds,
                                int64_t num_seeds, int32_t fanout,
                                uint64_t seed, int64_t* out_pos,
                                int32_t* out_counts) {
-#pragma omp parallel
-  {
-#if defined(_OPENMP)
-    const int tid = omp_get_thread_num();
-#else
-    const int tid = 0;
-#endif
-    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + tid);
-#pragma omp for schedule(dynamic, 64)
-    for (int64_t i = 0; i < num_seeds; ++i) {
-      const int64_t lo = indptr[seeds[i]];
-      const int64_t deg = indptr[seeds[i] + 1] - lo;
-      int64_t* out = out_pos + i * fanout;
-      if (deg == 0) {
-        out_counts[i] = 0;
-        continue;
-      }
-      for (int32_t j = 0; j < fanout; ++j)
-        out[j] = lo + static_cast<int64_t>(rng() % (uint64_t)deg);
-      out_counts[i] = fanout;
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    const int64_t lo = indptr[seeds[i]];
+    const int64_t deg = indptr[seeds[i] + 1] - lo;
+    int64_t* out = out_pos + i * fanout;
+    if (deg == 0) {
+      out_counts[i] = 0;
+      continue;
     }
+    uint64_t s = row_stream(seed, i);
+    for (int32_t j = 0; j < fanout; ++j)
+      out[j] = lo + static_cast<int64_t>(splitmix64(&s) % (uint64_t)deg);
+    out_counts[i] = fanout;
   }
   int64_t total = 0;
   for (int64_t i = 0; i < num_seeds; ++i) total += out_counts[i];

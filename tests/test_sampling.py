@@ -338,3 +338,28 @@ def test_native_sampler_matches_api_fallback():
                                       rng=np.random.default_rng(1))
     fs, fd = frontier.host_edges()
     assert np.all(s[eids] == fs) and np.all(d[eids] == fd)
+
+
+def test_native_sampler_deterministic_per_row():
+    """Same (graph, seeds, seed) => identical sample, independent of OpenMP
+    scheduling: the native sampler draws from a counter-based stream keyed
+    on (seed, row position), not per-thread streams (which made results
+    depend on thread count/schedule and broke cross-process reproduction
+    in the shared-graph sampler workers)."""
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.native import get_lib, rowwise_sample_native
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 500, 8000).astype(np.int32)
+    dst = rng.integers(0, 500, 8000).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=500)
+    csc, s_int = g.host("csc_indptr"), g.host("src")
+    seeds = np.arange(500, dtype=np.int64)
+    for replace in (False, True):
+        a = rowwise_sample_native(csc, s_int, seeds, 4, replace, seed=99)
+        b = rowwise_sample_native(csc, s_int, seeds, 4, replace, seed=99)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        c = rowwise_sample_native(csc, s_int, seeds, 4, replace, seed=98)
+        assert not np.array_equal(a[0], c[0])  # seed actually matters
