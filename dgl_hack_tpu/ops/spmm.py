@@ -76,6 +76,99 @@ def _hybrid_eligible(g, op, reduce_op, lhs_data, lhs_target) -> bool:
     return flat_plans_fit(g.spmm_hybrid_meta, g.spmm_hybrid_arrays, width)
 
 
+def _expand_like(x: Array, ref: Array) -> Array:
+    return x.reshape(x.shape + (1,) * (ref.ndim - 1))
+
+
+def _v_side_decompose(g, op: str, reduce_op: str, lhs_data, rhs_data,
+                      lhs_target: str, rhs_target: str) -> Optional[Array]:
+    """Algebraic rewrite for a dst-side ('v') operand: y[v] is CONSTANT
+    across every in-edge segment of v, so the reduction decomposes into a
+    copy-reduce of the other operand plus a per-NODE combine — the per-edge
+    gather of y (7.3 ns/edge issue-bound, KERNELS.md) disappears entirely
+    and the copy-reduce rides the tuned Pallas/hybrid plans.  E.g.
+    ``gspmm(u_add_v, sum)[v] = copy_u_sum(x)[v] + deg(v)·y[v]``.
+
+    The reference instantiates a dedicated minigun kernel per such combo
+    (src/kernel/binary_reduce.cc:295 with rhs target=dst); on TPU the
+    decomposition is strictly cheaper than any fused kernel could be.
+    Returns None when the combo doesn't decompose (caller falls through).
+    """
+    from ..utils.env import get_config
+    if get_config().no_rewrite or g.edge_mask is not None:
+        return None
+    if reduce_op not in ("sum", "mean", "max", "min"):
+        return None
+    # identify the v side; both-v is fully node-local
+    if lhs_target == "v" and rhs_target == "v":
+        m = apply_binary(op, lhs_data, rhs_data)
+        deg = g.in_degrees()
+        out = _expand_like(deg.astype(m.dtype), m) * m \
+            if reduce_op == "sum" else m
+        return jnp.where(_expand_like(deg > 0, out), out, 0)
+    if rhs_target == "v" and op != "copy_lhs" and op != "copy_rhs":
+        y, z, z_t, v_is_lhs = rhs_data, lhs_data, lhs_target, False
+    elif lhs_target == "v" and op != "copy_lhs" and op != "copy_rhs":
+        y, z, z_t, v_is_lhs = lhs_data, rhs_data, rhs_target, True
+    else:
+        return None
+    if z_t == "v":
+        return None
+    if not (jnp.issubdtype(jnp.result_type(y), jnp.floating)
+            and jnp.issubdtype(jnp.result_type(z), jnp.floating)):
+        return None
+    # per-reducer decomposition table; None = keep the composed path
+    if op == "div" and reduce_op in ("max", "min"):
+        return None          # sign(y)/zero hazards don't decompose cleanly
+    if op == "dot" and reduce_op in ("max", "min"):
+        return None          # max of inner products doesn't decompose
+
+    def red(kind, data):
+        return gspmm(g, "copy_lhs", kind, data, None, z_t, "e")
+
+    deg = g.in_degrees()
+    if reduce_op in ("sum", "mean"):
+        if op == "div" and v_is_lhs:
+            # y/z: reduce the elementwise inverse instead
+            r = red(reduce_op, 1.0 / z)
+            out = y * r
+        else:
+            r = red(reduce_op, z)
+            if op == "add":
+                scale = _expand_like(deg.astype(r.dtype), r) \
+                    if reduce_op == "sum" else 1.0
+                out = r + scale * y
+            elif op == "sub":
+                scale = _expand_like(deg.astype(r.dtype), r) \
+                    if reduce_op == "sum" else 1.0
+                out = (scale * y - r) if v_is_lhs else (r - scale * y)
+            elif op == "mul":
+                out = r * y
+            elif op == "div":   # z/y
+                out = r / y
+            elif op == "dot":
+                out = jnp.sum(r * y, axis=-1, keepdims=True)
+            else:
+                return None
+    else:  # max / min — y shifts/scales the segment extremum
+        lo_kind = "min" if reduce_op == "max" else "max"
+        if op == "add":
+            out = red(reduce_op, z) + y
+        elif op == "sub":
+            # z - y keeps order; y - z flips max<->min
+            out = (y - red(lo_kind, z)) if v_is_lhs \
+                else (red(reduce_op, z) - y)
+        elif op == "mul":
+            # sign of y decides which extremum of z survives
+            hi, lo = red(reduce_op, z), red(lo_kind, z)
+            hi, lo = jnp.broadcast_arrays(hi * y, lo * y)
+            out = jnp.where(y >= 0, hi, lo)
+        else:
+            return None
+    out = jnp.where(_expand_like(deg > 0, out), out, 0)  # DGL zero-fill
+    return out
+
+
 def gspmm(g, op: str, reduce_op: str,
           lhs_data: Optional[Array] = None,
           rhs_data: Optional[Array] = None,
@@ -88,10 +181,16 @@ def gspmm(g, op: str, reduce_op: str,
 
     When the graph carries a Pallas block plan (prepare_spmm) and the
     combination is the hot u/e sum/mean path, dispatches to the
-    scatter-free MXU kernel (ops/pallas/spmm_kernel.py).
+    scatter-free MXU kernel (ops/pallas/spmm_kernel.py).  Combos with a
+    dst-side operand decompose algebraically (see _v_side_decompose).
     """
     if reduce_op not in REDUCERS:
         raise ValueError(f"unknown reducer {reduce_op!r}")
+    if "v" in (lhs_target, rhs_target):
+        out = _v_side_decompose(g, op, reduce_op, lhs_data, rhs_data,
+                                lhs_target, rhs_target)
+        if out is not None:
+            return out
     if _hybrid_eligible(g, op, reduce_op, lhs_data, lhs_target):
         from .pallas.spmm_kernel import gspmm_hybrid
         from ..utils.env import get_config

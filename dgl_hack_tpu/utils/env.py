@@ -28,6 +28,7 @@ class Config:
     disable_pallas: bool = False
     gat_softmax: str = "shift"
     gat_packed: bool = False
+    no_rewrite: bool = False
 
 
 def get_config() -> Config:
@@ -43,4 +44,7 @@ def get_config() -> Config:
         # bf16-packed z gather in the fused GAT kernel: ~1.45x on the
         # dominant gather (KERNELS.md width law) at bf16 input precision
         gat_packed=os.environ.get("DGL_TPU_GAT_PACKED", "0") == "1",
+        # DGL_TPU_NO_REWRITE=1 disables the algebraic v-side gspmm
+        # decomposition (debug/measurement escape hatch)
+        no_rewrite=os.environ.get("DGL_TPU_NO_REWRITE", "0") == "1",
     )

@@ -230,3 +230,54 @@ def test_udf_message_and_reduce(rng):
     g.update_all(fn.copy_u("h", "m"), fn.sum("m", "agg2"))
     builtin = 2.0 * np.asarray(g.ndata["agg2"])
     np.testing.assert_allclose(udf_out, builtin, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reducer", ["sum", "mean", "max", "min"])
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "div", "dot"])
+@pytest.mark.parametrize("lhs_t,rhs_t", [("u", "v"), ("v", "u"), ("e", "v"),
+                                         ("v", "e"), ("v", "v")])
+def test_gspmm_v_side_decomposition(rng, op, reducer, lhs_t, rhs_t):
+    """v-side operands decompose algebraically (ops/spmm.py
+    _v_side_decompose); every decomposed combo must match the dense
+    oracle, including broadcast feature shapes."""
+    g, src, dst = random_graph(rng, num_edges=60)
+    n = g.num_nodes()
+    lshape, rshape = ((3, 1), (1, 4)) if op != "dot" else ((4,), (4,))
+    lhs = _make_data(rng, g, lhs_t, lshape)
+    rhs = _make_data(rng, g, rhs_t, rshape)
+
+    def to_internal(x, t):
+        if t == "e" and g.int2user is not None:
+            return jnp.asarray(x)[g.int2user]
+        return jnp.asarray(x)
+
+    out = dgl.gspmm(g, op, reducer, to_internal(lhs, lhs_t),
+                    to_internal(rhs, rhs_t), lhs_t, rhs_t)
+    ref = oracle_gspmm(src, dst, n, op, reducer, lhs, rhs, lhs_t, rhs_t)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reducer", ["sum", "mean", "max"])
+def test_gspmm_v_side_grad(rng, reducer):
+    """Gradients flow correctly through the decomposed u_mul_v path."""
+    g, src, dst = random_graph(rng, num_edges=40)
+    x = _make_data(rng, g, "u", (3,))
+    y = _make_data(rng, g, "v", (3,))
+
+    def loss(x_, y_):
+        return dgl.gspmm(g, "mul", reducer, x_, y_, "u", "v").sum()
+
+    gx, gy = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    eps = 1e-3
+    f0 = float(loss(jnp.asarray(x), jnp.asarray(y)))
+    for (i, j) in [(0, 0), (2, 1), (5, 2)]:
+        xp = x.copy(); xp[i, j] += eps
+        np.testing.assert_allclose(
+            np.asarray(gx)[i, j],
+            (float(loss(jnp.asarray(xp), jnp.asarray(y))) - f0) / eps,
+            rtol=0.15, atol=5e-2)
+        yp = y.copy(); yp[i, j] += eps
+        np.testing.assert_allclose(
+            np.asarray(gy)[i, j],
+            (float(loss(jnp.asarray(x), jnp.asarray(yp))) - f0) / eps,
+            rtol=0.15, atol=5e-2)
