@@ -324,6 +324,118 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# ---------------------------------------------------------------------------
+# max-reduce kernel: segmented shift-scan + exact one-hot select
+# ---------------------------------------------------------------------------
+# The one-hot MXU matmul computes SUMS; max instead rides the VPU:
+# within a block the local rows are non-decreasing (CSC order), so a
+# Hillis-Steele max-scan with a same-segment guard (log2(TE) shift steps)
+# leaves each row's running max at its last slot, and an exact one-hot
+# matmul (Precision.HIGHEST: one-hot x exact 3-term bf16 split of the
+# value) moves last-slot values to their output rows.  Exactness matters:
+# the VJP recomputes messages in XLA and matches them against the saved
+# output by BITWISE equality to find the argmax edges (the reference
+# backward does the same comparison, src/kernel/binary_reduce.cc:452).
+# Values below MINMAX_NEG are saturated (padding/empty-row fill).
+MINMAX_NEG = -1e30
+
+
+def _block_minmax(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
+                  w_kind: str):
+    """Per-block segment max.  Returns (contrib (TR, FT) f32 with
+    MINMAX_NEG fill for rows absent from this block, is_first pred).
+
+    Mosaic constraints shape the formulation: no 1-D vector slicing or
+    concatenation, so (a) lr moves from lane to sublane layout via an
+    exact one-hot matmul against a row-index column (values <= TR fit
+    bf16's exact-int range), (b) the segmented Hillis-Steele max-scan
+    shifts with pltpu.roll + iota masks, (c) each row's last-slot value
+    is extracted by ZEROING non-last slots and summing with the plain
+    one-hot matmul — one real value plus exact zeros, so the select is
+    bitwise exact (required by the VJP's argmax-by-equality)."""
+    b = pl.program_id(1)
+    lr = lr_ref[jax.lax.rem(b, 8), :]                    # (TE,) int32 lanes
+    m = m_ref[:]
+    if m.dtype == jnp.uint32:
+        m = _unpack_tile_bf16(m)
+    m = m.astype(jnp.float32)
+    if w_kind == "scalar":
+        w1 = w_ref[jax.lax.rem(b, 8), :]
+        m = m * jnp.broadcast_to(w1[:, None], m.shape)
+    elif w_kind == "full":
+        m = m * w_ref[:].astype(jnp.float32)
+    m = jnp.maximum(m, MINMAX_NEG)
+    # lane -> sublane transpose of lr: one-hot rows (incl. the TR pad
+    # sentinel) x row-index column; iota must be integer-typed on TPU
+    tr_ext = tr + 8
+    rows_ext = jax.lax.broadcasted_iota(jnp.int32, (tr_ext, te), 0)
+    S_ext = (rows_ext == lr[None, :]).astype(jnp.float32)
+    rowvals = jax.lax.broadcasted_iota(
+        jnp.int32, (tr_ext, 1), 0).astype(jnp.float32)
+    lr_sub = jax.lax.dot_general(S_ext, rowvals, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (te, 1), 0)
+    # segmented inclusive max-scan along TE (rows sorted within a block,
+    # so a same-row guard per shift step keeps segments independent)
+    k = 1
+    while k < te:
+        m_sh = pltpu.roll(m, k, 0)
+        lr_sh = pltpu.roll(lr_sub, k, 0)
+        same = jnp.logical_and(lr_sh == lr_sub, ridx >= k)
+        m = jnp.where(same, jnp.maximum(m, m_sh), m)
+        k *= 2
+    # keep only each row's last slot; everything else becomes exact 0
+    lr_next = jnp.where(ridx == te - 1, -1.0, pltpu.roll(lr_sub, te - 1, 0))
+    m_sel = jnp.where(lr_sub != lr_next, m, 0.0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
+    S = (rows == lr[None, :]).astype(jnp.float32)
+    selected = jnp.dot(S, m_sel, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    cnt = jnp.sum(S, axis=1, keepdims=True)
+    contrib = jnp.where(cnt > 0, selected, MINMAX_NEG)
+    prev = window_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, window_ref[b] != prev)
+    return contrib, is_first
+
+
+def _minmax_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
+                   w_kind: str = "none"):
+    if w_kind == "none":
+        (out_ref,) = rest
+        w_ref = None
+    else:
+        w_ref, out_ref = rest
+    contrib, is_first = _block_minmax(window_ref, lr_ref, m_ref, w_ref,
+                                      tr=tr, te=te, w_kind=w_kind)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = jnp.maximum(out_ref[:], contrib)
+
+
+def _minmax_kernel_acc(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
+                       w_kind: str = "none"):
+    if w_kind == "none":
+        acc_ref, out_ref = rest
+        w_ref = None
+    else:
+        w_ref, acc_ref, out_ref = rest
+    contrib, is_first = _block_minmax(window_ref, lr_ref, m_ref, w_ref,
+                                      tr=tr, te=te, w_kind=w_kind)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = jnp.maximum(acc_ref[:], contrib)
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = jnp.maximum(out_ref[:], contrib)
+
+
 def _pack_tiles_bf16(x: Array, ft: int) -> Array:
     """(N, F) bf16 -> (N, F/2) uint32, packed per ft-wide feature tile:
     within each tile the first half rides the low 16 bits.  LOSSLESS for
@@ -359,8 +471,8 @@ def _pick_ft(F: int) -> int:
 def _reduce_call(m: Array, local_row: Array, window: Array,
                  w: Optional[Array] = None, w_kind: str = "none", *,
                  tr: int, te: int, num_windows: int, num_blocks: int,
-                 mode: str = "f32x2", out_width: Optional[int] = None
-                 ) -> Array:
+                 mode: str = "f32x2", out_width: Optional[int] = None,
+                 combine: str = "add") -> Array:
     packed = m.dtype == jnp.uint32
     F = out_width if packed else m.shape[1]
     ft = _pick_ft(F)
@@ -382,9 +494,14 @@ def _reduce_call(m: Array, local_row: Array, window: Array,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)),
     )
+    if combine == "max":
+        kernel = functools.partial(_minmax_kernel, tr=tr, te=te,
+                                   w_kind=w_kind)
+    else:
+        kernel = functools.partial(_reduce_kernel, tr=tr, te=te, mode=mode,
+                                   w_kind=w_kind)
     return pl.pallas_call(
-        functools.partial(_reduce_kernel, tr=tr, te=te, mode=mode,
-                          w_kind=w_kind),
+        kernel,
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((num_windows * tr, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -397,7 +514,8 @@ def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
                      window_abs: Array, w: Optional[Array] = None,
                      w_kind: str = "none", *, tr: int, te: int,
                      num_blocks: int, mode: str = "f32x2",
-                     out_width: Optional[int] = None) -> Array:
+                     out_width: Optional[int] = None,
+                     combine: str = "add") -> Array:
     """One chunk's blocks accumulated IN PLACE into the full-size
     ``acc`` (absolute window ids): the accumulator is an aliased input
     whose blocks ride the same index_map as the output, so only the
@@ -427,11 +545,16 @@ def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)),
     )
+    if combine == "max":
+        kernel = functools.partial(_minmax_kernel_acc, tr=tr, te=te,
+                                   w_kind=w_kind)
+    else:
+        kernel = functools.partial(_reduce_kernel_acc, tr=tr, te=te,
+                                   mode=mode, w_kind=w_kind)
     # alias indices count the scalar-prefetch operand (window_abs at 0)
     acc_idx = 1 + len(operands)   # prefetch + operands, acc is last
     return pl.pallas_call(
-        functools.partial(_reduce_kernel_acc, tr=tr, te=te, mode=mode,
-                          w_kind=w_kind),
+        kernel,
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.float32),
         input_output_aliases={acc_idx - 1: 0},
@@ -446,32 +569,45 @@ def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
 # ---------------------------------------------------------------------------
 def _run_direction(plan_arrays: Sequence[Array], static_meta,
                    node_vals: Array, weights: Optional[Array], E: int,
-                   mode: str = "f32x2") -> Array:
+                   mode: str = "f32x2", combine: str = "add") -> Array:
     """Reduce all chunks via one scanned Pallas call; returns
-    (num_rows, F) float32."""
+    (num_rows, F) float32.  combine='max' returns the RAW segment max
+    with MINMAX_NEG fill on empty rows (caller zero-fills)."""
     num_rows, tr, te, wc, C = static_meta[:5]
     flat = bool(static_meta[5]) if len(static_meta) > 5 else False
     gidx_s, perm_s, lr_s, win_s, row0_s, cover_s = plan_arrays
     F = node_vals.shape[1]
+    fill = jnp.float32(0.0 if combine == "add" else MINMAX_NEG)
     out_len = wc * tr
     if C == 0:
-        return jnp.zeros((num_rows, F), jnp.float32)
+        return jnp.full((num_rows, F), fill, jnp.float32)
     bc = win_s.shape[1]
+    full_w = weights is not None and weights.ndim > 1 \
+        and weights.shape[-1] != 1
     # bf16 features: gather a u32-packed view (HALF the lanes, lossless —
     # the single bf16 MXU pass the kernel then takes is exact for bf16);
-    # DGL_TPU_SPMM_NO_PACK=1 is the measurement/debug escape hatch
+    # DGL_TPU_SPMM_NO_PACK=1 is the measurement/debug escape hatch.
+    # Full-width weights pre-multiply below, so packing is skipped there.
     import os
     if node_vals.dtype == jnp.bfloat16 and F % 2 == 0 \
-            and _pick_ft(F) % 2 == 0 \
+            and _pick_ft(F) % 2 == 0 and not full_w \
             and os.environ.get("DGL_TPU_SPMM_NO_PACK") != "1":
         node_vals = _pack_tiles_bf16(node_vals, _pick_ft(F))
 
     def edge_weights(perm):
         wv = weights if weights.ndim > 1 else weights[:, None]
-        if wv.shape[-1] == 1:
-            return ((wv[jnp.minimum(perm, E - 1), 0].astype(jnp.float32)
-                     * (perm < E)).reshape(bc, te), "scalar")
-        return wv[jnp.minimum(perm, E - 1)], "full"
+        return ((wv[jnp.minimum(perm, E - 1), 0].astype(jnp.float32)
+                 * (perm < E)).reshape(bc, te), "scalar")
+
+    def apply_full_w(m, perm):
+        # (E, F) weights multiply OUTSIDE the kernel: XLA fuses the row
+        # gather and the multiply into the one (slots, F) message buffer
+        # — HALF the kernel's HBM input traffic vs a separate w operand,
+        # and it sidesteps a Mosaic compile hang on the two-input
+        # multiply at (1024, ft) blocks (measured: te=1024 w_kind='full'
+        # never returns from tpu_compile_helper; te<=256 compiles).
+        wv = weights if weights.ndim > 1 else weights[:, None]
+        return m * wv[jnp.minimum(perm, E - 1)].astype(jnp.float32)
 
     if flat and C == 1:
         # single kernel over all blocks, absolute windows, no accumulator
@@ -479,30 +615,40 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         # as costly as the gather itself)
         gidx, perm, lr, win, _, cover = (a[0] for a in plan_arrays)
         m = node_vals[gidx]
-        w_in, w_kind = (None, "none") if weights is None \
-            else edge_weights(perm)
+        if weights is None:
+            w_in, w_kind = None, "none"
+        elif full_w:
+            m = apply_full_w(m, perm)
+            w_in, w_kind = None, "none"
+        else:
+            w_in, w_kind = edge_weights(perm)
         out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
                            num_windows=wc, num_blocks=bc, mode=mode,
-                           out_width=F)
+                           out_width=F, combine=combine)
         rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
-        out = jnp.where(rowmask[:, None], out, 0.0)
+        out = jnp.where(rowmask[:, None], out, fill)
         return out[:num_rows]
 
     # chunked path: in-kernel accumulation into ONE full-size buffer via
     # an aliased accumulator input at ABSOLUTE window ids — no XLA
     # overlap-add glue (measured ~as costly as the gather itself)
     pad_rows = ((num_rows + tr - 1) // tr) * tr
-    init = jnp.zeros((max(pad_rows, tr), F), jnp.float32)
+    init = jnp.full((max(pad_rows, tr), F), fill, jnp.float32)
 
     def body(acc, xs):
         gidx, perm, lr, win, row0, cover = xs
         m = node_vals[gidx]
-        w_in, w_kind = (None, "none") if weights is None \
-            else edge_weights(perm)
+        if weights is None:
+            w_in, w_kind = None, "none"
+        elif full_w:
+            m = apply_full_w(m, perm)
+            w_in, w_kind = None, "none"
+        else:
+            w_in, w_kind = edge_weights(perm)
         win_abs = win + row0 // tr      # chunk-rebased -> absolute
         acc = _reduce_call_acc(acc, m, lr, win_abs, w_in, w_kind, tr=tr,
                                te=te, num_blocks=bc, mode=mode,
-                               out_width=F)
+                               out_width=F, combine=combine)
         return acc, None
 
     if C == 1:
@@ -557,6 +703,66 @@ _gspmm_fused.defvjp(_gspmm_fused_fwd, _gspmm_fused_bwd)
 # jit so XLA buffer assignment (not eager async dispatch) owns chunk
 # buffer lifetimes
 _gspmm_fused_jit = jax.jit(_gspmm_fused, static_argnums=(0, 1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# fused segment-MAX with coupled VJP (min = -max(-x) at the caller)
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _gspmm_fused_max(meta_fwd, meta_rev, has_w, mode, x, w, src, dst,
+                     *plan_arrays):
+    return _run_direction(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, x,
+                          w if has_w else None, src.shape[0], mode,
+                          combine="max")
+
+
+def _gspmm_fused_max_fwd(meta_fwd, meta_rev, has_w, mode, x, w, src, dst,
+                         *plan_arrays):
+    out = _gspmm_fused_max(meta_fwd, meta_rev, has_w, mode, x, w, src, dst,
+                           *plan_arrays)
+    return out, (x, w, src, dst, out, plan_arrays)
+
+
+def _gspmm_fused_max_bwd(meta_fwd, meta_rev, has_w, mode, res, g):
+    """Argmax-edge gradient: the kernel's max is EXACT (scan compares,
+    HIGHEST one-hot select), so recomputing the message in XLA and
+    matching it bitwise against the saved output identifies the winning
+    edges.  Ties (equal float messages into one dst) all receive the full
+    cotangent — measure-zero on real data, documented in KERNELS.md.
+    (Reference backward compares the same way,
+    src/kernel/binary_reduce.cc:452 BackwardBinaryReduce with max.)"""
+    x, w, src, dst, out, plan_arrays = res
+    rev_arrays = plan_arrays[N_PLAN_ARRAYS:]
+    E = src.shape[0]
+    m = x[src].astype(jnp.float32)
+    if has_w:
+        wv = w if w.ndim > 1 else w[:, None]
+        m = m * wv.astype(jnp.float32)
+    m = jnp.maximum(m, MINMAX_NEG)
+    mask = (m == out[dst]).astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    if has_w:
+        mw = mask * (w if w.ndim > 1 else w[:, None]).astype(jnp.float32)
+    else:
+        mw = mask
+    dx = _run_direction(rev_arrays, meta_rev, g, mw, E, mode)
+    dx = dx.astype(x.dtype)
+    if has_w:
+        prod = x[src].astype(jnp.float32) * g[dst] * mask
+        dw = prod.sum(-1) if w.ndim == 1 else (
+            prod.sum(-1, keepdims=True) if w.shape[-1] == 1 else prod)
+        dw = dw.astype(w.dtype)
+    else:
+        dw = jnp.zeros_like(w)
+    zeros = tuple(np.zeros(a.shape, jax.dtypes.float0) for a in plan_arrays)
+    return (dx, dw,
+            np.zeros(src.shape, jax.dtypes.float0),
+            np.zeros(dst.shape, jax.dtypes.float0)) + zeros
+
+
+_gspmm_fused_max.defvjp(_gspmm_fused_max_fwd, _gspmm_fused_max_bwd)
+
+_gspmm_fused_max_jit = jax.jit(_gspmm_fused_max, static_argnums=(0, 1, 2, 3))
 
 
 class GspmmPlan(NamedTuple):
@@ -615,9 +821,17 @@ def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
     w = edge_weight
     if w is not None and w.ndim > 2:
         w = w.reshape(w.shape[0], -1)
+    w_arg = w if w is not None else jnp.zeros((0,), x.dtype)
+    if reduce_op in ("max", "min"):
+        xs = -x2 if reduce_op == "min" else x2
+        raw = _gspmm_fused_max_jit(meta_fwd, meta_rev, w is not None, mode,
+                                   xs, w_arg, src, dst, *plan_arrays)
+        covered = raw > MINMAX_NEG * 0.5
+        val = -raw if reduce_op == "min" else raw
+        out = jnp.where(covered, val, 0.0).astype(x.dtype)
+        return out.reshape((out.shape[0],) + shape[1:])
     out = _gspmm_fused_jit(meta_fwd, meta_rev, w is not None, mode, x2,
-                           w if w is not None else jnp.zeros((0,), x.dtype),
-                           src, dst, *plan_arrays)
+                           w_arg, src, dst, *plan_arrays)
     out = out.astype(x.dtype)
     if reduce_op == "mean":
         deg = jnp.maximum(in_degrees.astype(out.dtype), 1.0)

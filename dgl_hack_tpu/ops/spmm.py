@@ -42,7 +42,7 @@ def _pallas_eligible(g, op, reduce_op, lhs_data, rhs_data, lhs_target,
         return False
     if op == "mul" and rhs_target != "e":
         return False
-    if reduce_op not in ("sum", "mean"):
+    if reduce_op not in ("sum", "mean", "max", "min"):
         return False
     if not jnp.issubdtype(jnp.result_type(lhs_data), jnp.floating):
         return False

@@ -222,3 +222,81 @@ def test_pallas_bf16_odd_width_fallback(rng):
     out = dgl.gspmm(gp, "copy_lhs", "sum", x16)
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref), rtol=5e-3, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# max/min reducers through the plan kernel (segmented shift-scan + exact
+# one-hot select; VERDICT r1 item 6)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("flat", [False, True])
+@pytest.mark.parametrize("reducer", ["max", "min"])
+def test_pallas_copy_u_minmax(rng, reducer, flat):
+    g, gp = _prep(rng, flat=flat)
+    x = jnp.asarray(rng.normal(size=(300, 128)).astype(np.float32))
+    ref = dgl.gspmm(g, "copy_lhs", reducer, x)
+    out = dgl.gspmm(gp, "copy_lhs", reducer, x)
+    # forward max is exact (scan + HIGHEST one-hot select): bitwise equal
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("reducer", ["max", "min"])
+def test_pallas_u_mul_e_minmax_chunked(rng, reducer):
+    """Weighted max across chunk-split hub windows."""
+    g, gp = _prep(rng, num_nodes=1000, num_edges=8000, te=256, bc=8, wc=2)
+    assert gp.spmm_plan_meta[0][4] > 1
+    E = g.num_edges()
+    x = jnp.asarray(rng.normal(size=(1000, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(E, 1)).astype(np.float32))
+    ref = dgl.gspmm(g, "mul", reducer, x, w, "u", "e")
+    out = dgl.gspmm(gp, "mul", reducer, x, w, "u", "e")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("flat", [False, True])
+def test_pallas_minmax_zero_degree(rng, flat):
+    """Zero in-degree rows must come out 0 (DGL zero-fill), not -inf."""
+    src = rng.integers(0, 100, 500).astype(np.int32)
+    dst = rng.integers(0, 50, 500).astype(np.int32)   # rows 50..99 empty
+    g = dgl.graph((src, dst), num_nodes=100)
+    gp = dgl.prepare_spmm(g, te=256, bc=8, wc=2, flat=flat)
+    x = jnp.asarray(rng.normal(size=(100, 32)).astype(np.float32) - 5.0)
+    out = dgl.gspmm(gp, "copy_lhs", "max", x)
+    ref = dgl.gspmm(g, "copy_lhs", "max", x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert np.all(np.asarray(out)[50:] == 0.0)
+
+
+@pytest.mark.parametrize("reducer", ["max", "min"])
+def test_pallas_minmax_grad(rng, reducer):
+    """Argmax-edge gradient: matches the composed segment-op gradient
+    (no ties with continuous random data)."""
+    g, gp = _prep(rng, num_nodes=120, num_edges=700, te=256, bc=8)
+    E = g.num_edges()
+    x = jnp.asarray(rng.normal(size=(120, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(E, 1)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(120, 32)).astype(np.float32))
+
+    def loss(graph):
+        def f(x_, w_):
+            out = dgl.gspmm(graph, "mul", reducer, x_, w_, "u", "e")
+            return ((out - tgt) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1))(x, w)
+
+    gx_ref, gw_ref = loss(g)
+    gx, gw = loss(gp)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_minmax_bf16_packed(rng):
+    """bf16 inputs ride the packed gather; max stays exact on the
+    unpacked bf16 values."""
+    g, gp = _prep(rng)
+    x = jnp.asarray(rng.normal(size=(300, 128))).astype(jnp.bfloat16)
+    ref = dgl.gspmm(g, "copy_lhs", "max", x)
+    out = dgl.gspmm(gp, "copy_lhs", "max", x)
+    np.testing.assert_array_equal(np.asarray(out.astype(jnp.float32)),
+                                  np.asarray(ref.astype(jnp.float32)))
