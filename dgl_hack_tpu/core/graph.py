@@ -129,7 +129,9 @@ class Graph:
                  spmm_plan_arrays: Optional[Tuple[Array, ...]] = None,
                  spmm_plan_meta: Optional[Tuple] = None,
                  spmm_hybrid_arrays: Optional[Tuple[Array, ...]] = None,
-                 spmm_hybrid_meta: Optional[Tuple] = None):
+                 spmm_hybrid_meta: Optional[Tuple] = None,
+                 sddmm_plan_arrays: Optional[Tuple[Array, ...]] = None,
+                 sddmm_plan_meta: Optional[Tuple] = None):
         self._num_src = int(num_src)
         self._num_dst = int(num_dst)
         self.src = src
@@ -155,6 +157,9 @@ class Graph:
         # sparse remainder plan) for unweighted copy_u aggregation
         self.spmm_hybrid_arrays = spmm_hybrid_arrays
         self.spmm_hybrid_meta = spmm_hybrid_meta
+        # contiguous-block per-edge (sddmm) plan (ops/pallas/sddmm_kernel.py)
+        self.sddmm_plan_arrays = sddmm_plan_arrays
+        self.sddmm_plan_meta = sddmm_plan_meta
 
     # -- basic properties ---------------------------------------------------
     @property
@@ -256,15 +261,20 @@ class Graph:
             else len(self.spmm_hybrid_arrays)
         if n_hyb:
             leaves += list(self.spmm_hybrid_arrays)
+        n_sd = 0 if self.sddmm_plan_arrays is None \
+            else len(self.sddmm_plan_arrays)
+        if n_sd:
+            leaves += list(self.sddmm_plan_arrays)
         aux = (self._num_src, self._num_dst, self.is_block, opt_present,
                frame_keys, ekeys, self.batch_num_nodes, self.batch_num_edges,
-               n_plan, self.spmm_plan_meta, n_hyb, self.spmm_hybrid_meta)
+               n_plan, self.spmm_plan_meta, n_hyb, self.spmm_hybrid_meta,
+               n_sd, self.sddmm_plan_meta)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         (num_src, num_dst, is_block, opt_present, frame_keys, ekeys,
-         bnn, bne, n_plan, plan_meta, n_hyb, hyb_meta) = aux
+         bnn, bne, n_plan, plan_meta, n_hyb, hyb_meta, n_sd, sd_meta) = aux
         leaves = list(leaves)
         src, dst, csc_indptr = leaves[:3]
         i = 3
@@ -281,12 +291,15 @@ class Graph:
         plan_arrays = tuple(leaves[i:i + n_plan]) if n_plan else None
         i += n_plan
         hyb_arrays = tuple(leaves[i:i + n_hyb]) if n_hyb else None
+        i += n_hyb
+        sd_arrays = tuple(leaves[i:i + n_sd]) if n_sd else None
         return cls(num_src=num_src, num_dst=num_dst, src=src, dst=dst,
                    csc_indptr=csc_indptr, is_block=is_block,
                    node_frames=tuple(node_frames), edge_frame=edge_frame,
                    batch_num_nodes=bnn, batch_num_edges=bne,
                    spmm_plan_arrays=plan_arrays, spmm_plan_meta=plan_meta,
                    spmm_hybrid_arrays=hyb_arrays, spmm_hybrid_meta=hyb_meta,
+                   sddmm_plan_arrays=sd_arrays, sddmm_plan_meta=sd_meta,
                    **opts)
 
     def replace(self, **kw) -> "Graph":
@@ -302,7 +315,9 @@ class Graph:
                       spmm_plan_arrays=self.spmm_plan_arrays,
                       spmm_plan_meta=self.spmm_plan_meta,
                       spmm_hybrid_arrays=self.spmm_hybrid_arrays,
-                      spmm_hybrid_meta=self.spmm_hybrid_meta)
+                      spmm_hybrid_meta=self.spmm_hybrid_meta,
+                      sddmm_plan_arrays=self.sddmm_plan_arrays,
+                      sddmm_plan_meta=self.sddmm_plan_meta)
         fields.update(kw)
         return Graph(**fields)
 

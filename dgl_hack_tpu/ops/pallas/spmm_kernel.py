@@ -568,15 +568,20 @@ def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
 # direction driver: scan uniform chunks, overlap-add into the output
 # ---------------------------------------------------------------------------
 def _run_direction(plan_arrays: Sequence[Array], static_meta,
-                   node_vals: Array, weights: Optional[Array], E: int,
-                   mode: str = "f32x2", combine: str = "add") -> Array:
+                   node_vals: Optional[Array], weights: Optional[Array],
+                   E: int, mode: str = "f32x2",
+                   combine: str = "add") -> Array:
     """Reduce all chunks via one scanned Pallas call; returns
     (num_rows, F) float32.  combine='max' returns the RAW segment max
-    with MINMAX_NEG fill on empty rows (caller zero-fills)."""
+    with MINMAX_NEG fill on empty rows (caller zero-fills).
+
+    node_vals=None runs a copy_e reduce: the message is the (E, F)
+    ``weights`` array gathered by the plan's edge permutation — no node
+    gather at all (used by the sddmm VJPs to reduce edge cotangents)."""
     num_rows, tr, te, wc, C = static_meta[:5]
     flat = bool(static_meta[5]) if len(static_meta) > 5 else False
     gidx_s, perm_s, lr_s, win_s, row0_s, cover_s = plan_arrays
-    F = node_vals.shape[1]
+    F = weights.shape[1] if node_vals is None else node_vals.shape[1]
     fill = jnp.float32(0.0 if combine == "add" else MINMAX_NEG)
     out_len = wc * tr
     if C == 0:
@@ -589,7 +594,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
     # DGL_TPU_SPMM_NO_PACK=1 is the measurement/debug escape hatch.
     # Full-width weights pre-multiply below, so packing is skipped there.
     import os
-    if node_vals.dtype == jnp.bfloat16 and F % 2 == 0 \
+    if node_vals is not None and node_vals.dtype == jnp.bfloat16 \
+            and F % 2 == 0 \
             and _pick_ft(F) % 2 == 0 and not full_w \
             and os.environ.get("DGL_TPU_SPMM_NO_PACK") != "1":
         node_vals = _pack_tiles_bf16(node_vals, _pick_ft(F))
@@ -614,14 +620,19 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         # (the scan's per-chunk dynamic-slice glue measured ~10 ns/slot —
         # as costly as the gather itself)
         gidx, perm, lr, win, _, cover = (a[0] for a in plan_arrays)
-        m = node_vals[gidx]
-        if weights is None:
-            w_in, w_kind = None, "none"
-        elif full_w:
-            m = apply_full_w(m, perm)
+        if node_vals is None:
+            wv = weights
+            m = wv[jnp.minimum(perm, E - 1)].astype(jnp.float32)
             w_in, w_kind = None, "none"
         else:
-            w_in, w_kind = edge_weights(perm)
+            m = node_vals[gidx]
+            if weights is None:
+                w_in, w_kind = None, "none"
+            elif full_w:
+                m = apply_full_w(m, perm)
+                w_in, w_kind = None, "none"
+            else:
+                w_in, w_kind = edge_weights(perm)
         out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
                            num_windows=wc, num_blocks=bc, mode=mode,
                            out_width=F, combine=combine)
@@ -637,14 +648,18 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
 
     def body(acc, xs):
         gidx, perm, lr, win, row0, cover = xs
-        m = node_vals[gidx]
-        if weights is None:
-            w_in, w_kind = None, "none"
-        elif full_w:
-            m = apply_full_w(m, perm)
+        if node_vals is None:
+            m = weights[jnp.minimum(perm, E - 1)].astype(jnp.float32)
             w_in, w_kind = None, "none"
         else:
-            w_in, w_kind = edge_weights(perm)
+            m = node_vals[gidx]
+            if weights is None:
+                w_in, w_kind = None, "none"
+            elif full_w:
+                m = apply_full_w(m, perm)
+                w_in, w_kind = None, "none"
+            else:
+                w_in, w_kind = edge_weights(perm)
         win_abs = win + row0 // tr      # chunk-rebased -> absolute
         acc = _reduce_call_acc(acc, m, lr, win_abs, w_in, w_kind, tr=tr,
                                te=te, num_blocks=bc, mode=mode,
@@ -1068,7 +1083,7 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
                  weighted: bool = True, dense_hub: bool = True,
                  dense_threshold: Optional[int] = None,
                  dense_budget: int = 3 << 30, flat="auto",
-                 flat_width: int = 128):
+                 flat_width: int = 128, sddmm: bool = True):
     """Attach Pallas gspmm plans to a Graph (returns a new Graph sharing
     all other arrays).  Requires the CSR format (build_csr=True).
     One-time host-side cost per graph, analogous to the reference's lazy
@@ -1129,4 +1144,11 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
         arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta)
+    if sddmm and g.edge_mask is None \
+            and out.spmm_plan_arrays is not None:
+        from .sddmm_kernel import build_sddmm_plan
+        sp = build_sddmm_plan(g.host("dst"), g.host("src"),
+                              g.num_src_nodes, g.num_dst_nodes, tr=tr)
+        out = out.replace(sddmm_plan_arrays=sp.device_arrays(),
+                          sddmm_plan_meta=sp.static_meta)
     return out

@@ -6,16 +6,53 @@ reducer=none" path (reference: src/kernel/binary_reduce.cc:295 with
 python/dgl/runtime/scheduler.py:334).  The classic instance is the GAT
 attention-logit computation ``u_add_v`` (reference:
 nn/pytorch/conv/gatconv.py:152).
+
+Dst-side ('v') operands dispatch to the fused Pallas kernel
+(ops/pallas/sddmm_kernel.py) when the graph carries plans
+(prepare_spmm): the dst rows are read DENSELY per window instead of
+gathered per edge — half the issue-bound gather traffic for u-op-v, and
+ZERO gathers for e-op-v / copy_v.
 """
 from __future__ import annotations
 
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from .common import apply_binary, gather_edge_operand
 
 Array = jax.Array
+
+_PALLAS_OPS = ("add", "sub", "mul", "div", "dot", "copy_rhs")
+
+
+def _pallas_sddmm_eligible(g, op, lhs_data, rhs_data, lhs_target) -> bool:
+    from ..utils.env import get_config
+    if get_config().disable_pallas:
+        return False
+    if getattr(g, "sddmm_plan_arrays", None) is None \
+            or g.edge_mask is not None:
+        return False
+    if op not in _PALLAS_OPS or lhs_target not in ("u", "e", None):
+        return False
+    if not jnp.issubdtype(jnp.result_type(rhs_data), jnp.floating):
+        return False
+    if op != "copy_rhs":
+        if not jnp.issubdtype(jnp.result_type(lhs_data), jnp.floating):
+            return False
+        # the kernel combines equal-width operands (no broadcast logic)
+        if lhs_data.shape[1:] != rhs_data.shape[1:]:
+            return False
+        if op == "dot" and lhs_data.ndim != 2:
+            return False          # multi-head dot contracts per group
+    # gathered-message buffer budget (the 'u' slot gather is (nb*te, F))
+    from .pallas.spmm_kernel import FLAT_MAX_BYTES
+    width = int(np.prod(rhs_data.shape[1:])) if rhs_data.ndim > 1 else 1
+    nb = g.sddmm_plan_meta[4]
+    te = g.sddmm_plan_meta[3]
+    return nb * te * max(width, 1) * 4 <= FLAT_MAX_BYTES
 
 
 def gsddmm(g, op: str,
@@ -29,6 +66,35 @@ def gsddmm(g, op: str,
     feed gspmm / edge_softmax without a permutation.  Pass
     ``out_order='eid'`` to get user insertion order (DGL parity).
     """
+    # normalise so a 'v' operand (if any) sits on the rhs
+    swap_op, swap_sign = None, False
+    if lhs_target == "v" and rhs_target != "v":
+        if op in ("add", "mul", "dot"):
+            swap_op = op
+        elif op == "sub":
+            swap_op, swap_sign = "sub", True     # v-u = -(u-v)
+        elif op == "copy_lhs":
+            swap_op = "copy_rhs"
+        if swap_op is not None:
+            lhs_data, rhs_data = rhs_data, lhs_data
+            lhs_target, rhs_target = rhs_target, "v"
+            op = swap_op
+    if rhs_target == "v" and _pallas_sddmm_eligible(
+            g, op, lhs_data, rhs_data, lhs_target):
+        from .pallas.sddmm_kernel import gsddmm_pallas
+        from ..utils.env import get_config
+        out = gsddmm_pallas(g, op, None if op == "copy_rhs" else lhs_data,
+                            rhs_data, lhs_target,
+                            mode=get_config().spmm_mode)
+        if swap_sign:
+            out = -out
+        if out_order == "eid" and g.int2user is not None:
+            out = out[g.user2int]
+        return out
+    if swap_sign:
+        # undo the normalisation for the composed path
+        lhs_data, rhs_data = rhs_data, lhs_data
+        lhs_target, rhs_target = "v", lhs_target
     lhs = None if op == "copy_rhs" else gather_edge_operand(g, lhs_data, lhs_target)
     rhs = None if op == "copy_lhs" else gather_edge_operand(g, rhs_data, rhs_target)
     out = apply_binary(op, lhs, rhs)
