@@ -43,20 +43,36 @@ from .spmm_kernel import (N_PLAN_ARRAYS, _interpret, _pick_ft,
 Array = jax.Array
 
 SDDMM_TR = 128        # dst-window rows (MXU-aligned)
-SDDMM_TE = 512        # edges per contiguous block; span = TE//TR + 1
-                      # dense windows per block (VMEM: span*TR x te one-hot)
+SDDMM_TE = 256        # edges per contiguous block; span = TE//TR + 1
+                      # dense windows per block (VMEM: span*TR x te one-hot).
+                      # te=512 with TWO full-width operands hangs
+                      # tpu_compile_helper (same Mosaic limit as the spmm
+                      # full-width weight multiply — KERNELS.md); te=256
+                      # compiles AND halves the one-hot span cost.
 
 
 class SddmmPlan(NamedTuple):
     """Host-built contiguous-block plan for per-edge outputs.
 
-    gather_idx (nb*te,) int32  src id per slot (spread pad on the tail)
-    local_row  (nb, te) int32  dst row - w_first*TR (sentinel span*TR)
-    w_first    (nb,)    int32  first dst window per block (prefetched)
+    gather_idx (nb*te,)   int32  src id per slot (spread pad on the tail)
+    local_row  (nb, te)   int32  rank*TR + dst%TR where rank is the
+                                 index of the slot's dst window among
+                                 the block's DISTINCT windows
+                                 (sentinel span*TR for pad/overflow)
+    w_ids      (nb*span,) int32  the block's first `span` distinct dst
+                                 windows, in order (prefetched)
+    ov_pos/src/dst (K,)   int32  overflow edges (window rank >= span —
+                                 possible when zero-degree dst gaps make
+                                 a te-edge run touch many windows); they
+                                 are patched exactly in XLA after the
+                                 kernel.  K is 0 on ungappy graphs.
     """
     gather_idx: np.ndarray
     local_row: np.ndarray
-    w_first: np.ndarray
+    w_ids: np.ndarray
+    ov_pos: np.ndarray
+    ov_src: np.ndarray
+    ov_dst: np.ndarray
     num_edges: int
     num_dst: int
     tr: int
@@ -64,7 +80,8 @@ class SddmmPlan(NamedTuple):
 
     def device_arrays(self) -> Tuple[Array, ...]:
         return (jnp.asarray(self.gather_idx), jnp.asarray(self.local_row),
-                jnp.asarray(self.w_first))
+                jnp.asarray(self.w_ids), jnp.asarray(self.ov_pos),
+                jnp.asarray(self.ov_src), jnp.asarray(self.ov_dst))
 
     @property
     def static_meta(self):
@@ -72,13 +89,21 @@ class SddmmPlan(NamedTuple):
                 self.local_row.shape[0])
 
 
-N_SDDMM_ARRAYS = 3
+N_SDDMM_ARRAYS = 6
 
 
 def build_sddmm_plan(dst_internal: np.ndarray, src_internal: np.ndarray,
                      num_src: int, num_dst: int,
                      tr: int = SDDMM_TR, te: int = SDDMM_TE) -> SddmmPlan:
-    """Contiguous te-edge tiles over the internal (dst-sorted) edge order."""
+    """Contiguous te-edge tiles over the internal (dst-sorted) edge order.
+
+    Window addressing is RANK-based: each block prefetches its first
+    `span` DISTINCT dst windows (dst-sorted edges visit windows in
+    non-decreasing order, so ranks are a prefix).  A te-edge run exceeds
+    `span` distinct windows only where nonempty windows hold < te/span
+    edges on average (heavily gappy / ultra-sparse stretches); those
+    overflow edges are recorded and patched exactly outside the kernel.
+    """
     assert te % tr == 0, "sddmm te must be a multiple of tr"
     dst = np.asarray(dst_internal, np.int64)
     src = np.asarray(src_internal, np.int64)
@@ -93,13 +118,40 @@ def build_sddmm_plan(dst_internal: np.ndarray, src_internal: np.ndarray,
     spread = (pos * np.int64(2654435761)) % max(num_src, 1)
     gather_idx = np.where(valid, src[posc] if E else 0,
                           spread).astype(np.int32)
-    w_first = (dst[np.minimum(pos[::te], max(E - 1, 0))] // tr
-               if E else np.zeros(nb, np.int64)).astype(np.int32)
-    lr = np.where(valid, (dst[posc] if E else 0)
-                  - np.repeat(w_first.astype(np.int64), te) * tr,
-                  span * tr).astype(np.int32)
-    return SddmmPlan(gather_idx, lr.reshape(nb, te), w_first,
-                     E, num_dst, tr, te)
+    w_ids = np.zeros(nb * span, np.int32)
+    lr = np.full(slots, span * tr, np.int32)
+    ov_pos = np.zeros(0, np.int64)
+    if E:
+        w = dst // tr                               # (E,) window per edge
+        epos = np.arange(E, dtype=np.int64)
+        blk = epos // te
+        # distinct-window run starts (within each block)
+        chg = np.ones(E, bool)
+        chg[1:] = w[1:] != w[:-1]
+        chg |= (epos % te == 0)
+        cid = np.cumsum(chg) - 1                    # global run id
+        first_cid = np.zeros(nb, np.int64)
+        bstart = np.minimum(np.arange(nb, dtype=np.int64) * te, E - 1)
+        first_cid = cid[bstart]
+        rank = cid - first_cid[blk]                 # window rank in block
+        starts = np.flatnonzero(chg)
+        s_ok = starts[rank[starts] < span]
+        w_ids[blk[s_ok] * span + rank[s_ok]] = w[s_ok].astype(np.int32)
+        ok = rank < span
+        lr[: E][ok] = (rank[ok] * tr + dst[ok] % tr).astype(np.int32)
+        ov_pos = epos[~ok]
+    k = int(ov_pos.shape[0])
+    kp = -(-max(k, 1) // 8) * 8 if k else 0
+    ovp = np.full(kp, E, np.int64)                  # pad -> OOB (dropped)
+    ovp[:k] = ov_pos
+    ovs = np.zeros(kp, np.int64)
+    ovd = np.zeros(kp, np.int64)
+    if k:
+        ovs[:k] = src[ov_pos]
+        ovd[:k] = dst[ov_pos]
+    return SddmmPlan(gather_idx, lr.reshape(nb, te), w_ids,
+                     ovp.astype(np.int32), ovs.astype(np.int32),
+                     ovd.astype(np.int32), E, num_dst, tr, te)
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +209,7 @@ def _sddmm_kernel(wf_ref, lr_ref, *rest, tr: int, te: int, span: int,
 
 
 def _sddmm_call(meta, lhs: Optional[Array], y: Array, lr: Array,
-                w_first: Array, gather_idx: Array, op: str,
+                w_ids: Array, gather_idx: Array, op: str,
                 lhs_kind: str) -> Array:
     """Run the kernel over all blocks; returns (nb*te, F) or (nb*te, 1)
     for dot, in slot (== padded internal edge) order."""
@@ -191,13 +243,12 @@ def _sddmm_call(meta, lhs: Optional[Array], y: Array, lr: Array,
     if m_in is not None:
         in_specs.append(m_spec)
         operands.append(m_in)
-    # span stacked dense dst windows at the prefetched offset (clamped)
+    # span stacked dense dst windows at the prefetched DISTINCT window ids
     for k in range(span):
         in_specs.append(pl.BlockSpec(
             (tr, ft),
             functools.partial(
-                lambda f, b, wf, k=0: (jnp.minimum(wf[b] + k, wmax - 1), f),
-                k=k)))
+                lambda f, b, wf, k=0: (wf[b * span + k], f), k=k)))
         operands.append(y)
     if op == "dot":
         out_spec = pl.BlockSpec((te, 1), lambda f, b, wf: (b, 0))
@@ -219,7 +270,7 @@ def _sddmm_call(meta, lhs: Optional[Array], y: Array, lr: Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_interpret(),
-    )(w_first, *operands)
+    )(w_ids, *operands)
 
 
 # ---------------------------------------------------------------------------
@@ -228,10 +279,9 @@ def _sddmm_call(meta, lhs: Optional[Array], y: Array, lr: Array,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _gsddmm_fused(meta, spmm_meta, op, lhs_kind, mode, lhs, y,
                   *arrays):
-    sddmm_arrays = arrays[:N_SDDMM_ARRAYS]
-    gather_idx, lr, w_first = sddmm_arrays
+    gather_idx, lr, w_ids = arrays[:3]
     out = _sddmm_call(meta, lhs if lhs_kind != "none" else None, y, lr,
-                      w_first, gather_idx, op, lhs_kind)
+                      w_ids, gather_idx, op, lhs_kind)
     E = meta[0]
     return out[:E]
 
@@ -326,6 +376,23 @@ def gsddmm_pallas(g, op: str, lhs_data: Optional[Array], rhs_data: Array,
     out = _gsddmm_fused_jit(meta, g.spmm_plan_meta, op, lhs_kind, mode,
                             lhs2, y2, *arrays)
     E = meta[0]
+    ov_pos, ov_src, ov_dst = g.sddmm_plan_arrays[3:6]
+    if ov_pos.shape[0]:
+        # exact XLA patch for window-rank-overflow edges (kernel wrote
+        # zeros-combined values there); differentiable, so cotangents
+        # route through this composed path for exactly those edges
+        yv = y2[ov_dst].astype(jnp.float32)
+        if op == "copy_rhs":
+            vals = yv
+        else:
+            mv = (lhs2[ov_src] if lhs_kind == "u"
+                  else lhs2[jnp.minimum(ov_pos, lhs2.shape[0] - 1)]
+                  ).astype(jnp.float32)
+            vals = {"add": lambda: mv + yv, "sub": lambda: mv - yv,
+                    "mul": lambda: mv * yv, "div": lambda: mv / yv,
+                    "dot": lambda: jnp.sum(mv * yv, -1, keepdims=True),
+                    }[op]()
+        out = out.at[ov_pos].set(vals, mode="drop")
     if op == "dot":
         out = out.astype(rhs_data.dtype)
         return out.reshape((E,) + shape_r[1:-1] + (1,))

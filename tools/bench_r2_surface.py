@@ -42,7 +42,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", required=True,
                     choices=["hybrid", "max", "sum_xla", "u_add_v",
-                             "u_dot_v", "wide", "gat"])
+                             "u_dot_v", "u_add_v_plan", "u_dot_v_plan",
+                             "copy_v_plan", "wide", "gat"])
     args = ap.parse_args()
 
     import jax
@@ -59,7 +60,8 @@ def main():
                           "ns_per_edge": round(dt * 1e9 / edges, 2),
                           "medges_per_s": round(edges / dt / 1e6, 1)}))
 
-    if args.case in ("hybrid", "max", "sum_xla", "u_add_v", "u_dot_v"):
+    if args.case in ("hybrid", "max", "sum_xla", "u_add_v", "u_dot_v",
+                     "u_add_v_plan", "u_dot_v_plan", "copy_v_plan"):
         x = jnp.asarray(np.random.default_rng(0)
                         .normal(size=(N, F)).astype(np.float32))
     if args.case == "hybrid":
@@ -81,6 +83,21 @@ def main():
         report("u_dot_v_composed",
                timed(lambda h: jnp.broadcast_to(
                    gsddmm(g0, "dot", h, h, "u", "v")[:N], h.shape), x))
+    elif args.case in ("u_add_v_plan", "u_dot_v_plan", "copy_v_plan"):
+        from dgl_hack_tpu.ops.sddmm import gsddmm
+        gp = dgl.prepare_spmm(g0, te=64)   # weighted plan => sddmm plan too
+        assert gp.sddmm_plan_arrays is not None
+        if args.case == "u_add_v_plan":
+            report("u_add_v_plan",
+                   timed(lambda h: gsddmm(gp, "add", h, h, "u", "v")[:N], x))
+        elif args.case == "u_dot_v_plan":
+            report("u_dot_v_plan",
+                   timed(lambda h: jnp.broadcast_to(
+                       gsddmm(gp, "dot", h, h, "u", "v")[:N], h.shape), x))
+        else:
+            report("copy_v_plan",
+                   timed(lambda h: gsddmm(gp, "copy_rhs", None, h,
+                                          "u", "v")[:N], x))
     elif args.case == "wide":
         F2 = 512
         xw = jnp.asarray(np.random.default_rng(1).normal(
