@@ -75,6 +75,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                          ctypes.c_int32, ctypes.c_double,
                                          ctypes.c_double, ctypes.c_int32,
                                          i32p]
+        lib.fennel_partition_w.restype = None
+        lib.fennel_partition_w.argtypes = [i32p, i32p, i32p, i32p, i32p,
+                                           i32p, ctypes.c_int64,
+                                           ctypes.c_int64, ctypes.c_int32,
+                                           ctypes.c_double, ctypes.c_double,
+                                           ctypes.c_int32, i32p]
         _lib = lib
         return _lib
 
@@ -171,8 +177,13 @@ def rowwise_sample_native(indptr, src, seeds, fanout: int, replace: bool,
 
 
 def fennel_native(indptr_in, src, indptr_out, dst_by_src, order, E: int,
-                  k: int, gamma: float, slack: float, num_passes: int):
-    """Native Fennel partition; returns parts array or None."""
+                  k: int, gamma: float, slack: float, num_passes: int,
+                  node_weights=None):
+    """Native Fennel partition; returns parts array or None.
+
+    node_weights (int32, optional) switches to the vertex-weighted
+    objective + weighted hard cap (edge-count balance when weights are
+    1 + in-degree — see fennel_partition_w in fastgraph.cpp)."""
     import numpy as np
     lib = get_lib()
     if lib is None:
@@ -182,6 +193,12 @@ def fennel_native(indptr_in, src, indptr_out, dst_by_src, order, E: int,
     arrs = [np.ascontiguousarray(a, np.int32)
             for a in (indptr_in, src, indptr_out, dst_by_src, order)]
     parts = np.full(n, -1, np.int32)
-    lib.fennel_partition(*(_ptr(a, i32p) for a in arrs), n, E, k, gamma,
-                         slack, num_passes, _ptr(parts, i32p))
+    if node_weights is not None:
+        vw = np.ascontiguousarray(node_weights, np.int32)
+        lib.fennel_partition_w(*(_ptr(a, i32p) for a in arrs),
+                               _ptr(vw, i32p), n, E, k, gamma, slack,
+                               num_passes, _ptr(parts, i32p))
+    else:
+        lib.fennel_partition(*(_ptr(a, i32p) for a in arrs), n, E, k,
+                             gamma, slack, num_passes, _ptr(parts, i32p))
     return parts

@@ -179,4 +179,62 @@ void fennel_partition(const int32_t* indptr_in, const int32_t* src,
   }
 }
 
+// Weighted Fennel: node v carries weight vw[v] (callers use 1 + in-degree
+// so that per-part OWNED-EDGE counts are balanced alongside node counts —
+// the spatial plan pads every part to the max part's edge count, so edge
+// imbalance is a direct padded-FLOPs tax; see SCALING_CPU.json).  Greedy
+// objective is the standard vertex-weighted generalisation: marginal
+// balance penalty scales with the node's weight, and a HARD weighted cap
+// (slack * total_w / k) bounds the max part weight; if every part is
+// capped (can happen late in a pass with skewed weights) the node falls
+// back to the lightest part.  Reference quality bar: METIS with vwgt
+// (src/graph/metis_partition.cc:35 passes vwgt=NULL; we go one better
+// because padding, not just comm, is the TPU cost).
+void fennel_partition_w(const int32_t* indptr_in, const int32_t* src,
+                        const int32_t* indptr_out, const int32_t* dst,
+                        const int32_t* order, const int32_t* vw,
+                        int64_t n, int64_t E, int32_t k, double gamma,
+                        double slack, int32_t num_passes, int32_t* parts) {
+  std::vector<double> sizes(k, 0.0);
+  std::vector<double> score(k, 0.0);
+  double total_w = 0.0;
+  for (int64_t i = 0; i < n; ++i) total_w += vw[i];
+  const double alpha =
+      E * std::pow((double)k, gamma - 1.0) /
+      std::pow(std::max(total_w, 1.0), gamma);
+  const double cap = slack * total_w / k;
+  for (int32_t pass = 0; pass < num_passes; ++pass) {
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t v = order[i];
+      const double w = (double)vw[v];
+      const int32_t old = parts[v];
+      if (old >= 0) sizes[old] -= w;
+      std::fill(score.begin(), score.end(), 0.0);
+      for (int64_t e = indptr_in[v]; e < indptr_in[v + 1]; ++e) {
+        const int32_t p = parts[src[e]];
+        if (p >= 0) score[p] += 1.0;
+      }
+      for (int64_t e = indptr_out[v]; e < indptr_out[v + 1]; ++e) {
+        const int32_t p = parts[dst[e]];
+        if (p >= 0) score[p] += 1.0;
+      }
+      int32_t best = -1;
+      double best_s = -1e300;
+      for (int32_t p = 0; p < k; ++p) {
+        if (sizes[p] + w > cap) continue;
+        const double s = score[p] - alpha * gamma * 0.5 * w *
+            std::pow(std::max(sizes[p], 1.0), gamma - 1.0);
+        if (s > best_s) { best_s = s; best = p; }
+      }
+      if (best < 0) {  // all capped: lightest part
+        best = 0;
+        for (int32_t p = 1; p < k; ++p)
+          if (sizes[p] < sizes[best]) best = p;
+      }
+      parts[v] = best;
+      sizes[best] += w;
+    }
+  }
+}
+
 }  // extern "C"

@@ -39,35 +39,52 @@ def range_partition(g: Graph, k: int) -> np.ndarray:
 
 def fennel_partition(g: Graph, k: int, gamma: float = 1.5,
                      slack: float = 1.1, seed: int = 0,
-                     num_passes: int = 2) -> np.ndarray:
+                     num_passes: int = 2,
+                     balance_edges: bool = False) -> np.ndarray:
     """Streaming greedy partitioning: node v goes to the part maximising
     |neighbors in part| - alpha * gamma/2 * |part|^(gamma-1), capped at
-    ``slack`` x balanced size."""
+    ``slack`` x balanced size.
+
+    balance_edges=True runs the vertex-WEIGHTED objective with
+    vw[v] = 1 + in_degree(v): the spatial plan pads every part to the max
+    part's owned-edge count (edges are owned by their dst), so in-degree
+    imbalance is a direct padded-compute tax (SCALING_CPU.json measured
+    edge_pad_factor 2.39 at P=8 on a power-law graph with the unweighted
+    objective).  The weighted hard cap bounds max part weight to
+    slack * (N + E) / k, which bounds edge_pad_factor by about
+    slack * (1 + N/E).  Reference quality bar: METIS_PartGraphKway
+    (src/graph/metis_partition.cc:35), which balances vertex weight."""
     n = g.num_nodes()
     E = g.num_edges()
     indptr_in = g.host("csc_indptr")
     src = g.host("src")
     indptr_out = g.host("csr_indptr")
     dst_by_src = g.host("dst")[g.host("csr_eids")]
+    vw = None
+    if balance_edges:
+        in_deg = np.diff(indptr_in).astype(np.int64)
+        vw = np.minimum(1 + in_deg, np.int64(2**31 - 1)).astype(np.int32)
 
     rng = np.random.default_rng(seed)
     from ..native import fennel_native
     native = fennel_native(indptr_in, src, indptr_out, dst_by_src,
                            rng.permutation(n).astype(np.int32), E, k,
-                           gamma, slack, num_passes)
+                           gamma, slack, num_passes, node_weights=vw)
     if native is not None:
         return native
 
-    alpha = E * (k ** (gamma - 1)) / max(n ** gamma, 1)
-    cap = slack * n / k
+    w = vw.astype(np.float64) if vw is not None else np.ones(n)
+    total_w = float(w.sum())
+    alpha = E * (k ** (gamma - 1)) / max(total_w ** gamma, 1)
+    cap = slack * total_w / k
     parts = np.full(n, -1, np.int32)
-    sizes = np.zeros(k, np.int64)
+    sizes = np.zeros(k, np.float64)
     order = rng.permutation(n)
     for _ in range(num_passes):
         for v in order:
             old = parts[v]
             if old >= 0:
-                sizes[old] -= 1
+                sizes[old] -= w[v]
             nbrs = np.concatenate([
                 src[indptr_in[v]:indptr_in[v + 1]],
                 dst_by_src[indptr_out[v]:indptr_out[v + 1]]])
@@ -77,19 +94,27 @@ def fennel_partition(g: Graph, k: int, gamma: float = 1.5,
                 pn = pn[pn >= 0]
                 if len(pn):
                     np.add.at(score, pn, 1.0)
-            score -= alpha * gamma / 2.0 * np.power(
+            score -= alpha * gamma / 2.0 * w[v] * np.power(
                 np.maximum(sizes, 1), gamma - 1)
-            score[sizes >= cap] = -np.inf
-            best = int(np.argmax(score))
+            score[sizes + w[v] > cap] = -np.inf
+            if np.all(np.isneginf(score)):
+                best = int(np.argmin(sizes))
+            else:
+                best = int(np.argmax(score))
             parts[v] = best
-            sizes[best] += 1
+            sizes[best] += w[v]
     return parts
 
 
 def partition(g: Graph, k: int, method: str = "fennel",
               seed: int = 0) -> np.ndarray:
     """Node -> part assignment (the METIS_PartGraphKway replacement,
-    reference: src/graph/metis_partition.cc:35)."""
+    reference: src/graph/metis_partition.cc:35).
+
+    'fennel' balances OWNED-EDGE counts alongside node counts (weighted
+    objective) — the spatial plan pads parts to the max edge count, so
+    edge balance is first-order for TPU padded compute; 'fennel-nodes'
+    keeps the round-2 node-only objective."""
     if k <= 1:
         return np.zeros(g.num_nodes(), np.int32)
     if method == "random":
@@ -97,14 +122,18 @@ def partition(g: Graph, k: int, method: str = "fennel",
     elif method == "range":
         p = range_partition(g, k)
     elif method == "fennel":
-        p = fennel_partition(g, k, seed=seed)
+        p = fennel_partition(g, k, seed=seed, balance_edges=True)
+    elif method == "fennel-nodes":
+        p = fennel_partition(g, k, seed=seed, balance_edges=False)
     else:
         raise ValueError(f"unknown partition method {method!r}")
     s, d = g.host_edges()
     cut = int((p[s] != p[d]).sum())
+    ecnt = np.bincount(p[d], minlength=k)
+    bal = float(ecnt.max() * k / max(g.num_edges(), 1))
     # reference logs the edge-cut the same way (metis_partition.cc:50-53)
     print(f"partition[{method}] k={k}: edge-cut {cut}/{g.num_edges()} "
-          f"({cut / max(g.num_edges(), 1):.3f})")
+          f"({cut / max(g.num_edges(), 1):.3f}), edge-balance {bal:.2f}")
     return p
 
 
