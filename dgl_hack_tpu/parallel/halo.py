@@ -56,6 +56,8 @@ _DEVICE_FIELDS = (
     "lsrc", "ldst", "lmask", "rsrc", "rdst", "rmask", "lcnt", "rcnt",
     # exchange plan + node bookkeeping
     "send_idx", "send_mask", "owned_ids", "owned_mask", "in_deg", "out_deg",
+    # hub replication (all_gather'ed rows; zero-width when hub_k=0)
+    "hub_idx", "hub_mask",
 )
 
 
@@ -99,13 +101,20 @@ class SpatialPlan:
     owned_mask: np.ndarray    # (P, n_owned_max) bool
     in_deg: np.ndarray        # (P, n_owned_max) true in-degree
     out_deg: np.ndarray       # (P, n_owned_max) true GLOBAL out-degree
+    # hub replication: own rows contributed to one all_gather; hub rows
+    # land AFTER the pairwise halo in the extended index space
+    hub_idx: np.ndarray       # (P, hk_max) own local rows that are hubs
+    hub_mask: np.ndarray      # (P, hk_max) bool
+    hk_max: int = 0           # hub rows contributed per part (padded)
+    build_seconds: float = 0.0
 
     def device_arrays(self) -> Dict[str, Array]:
         return {k: jnp.asarray(getattr(self, k)) for k in _DEVICE_FIELDS}
 
     @property
     def num_src_ext(self) -> int:
-        return self.n_owned_max + self.halo_max
+        return self.n_owned_max + self.halo_max \
+            + self.num_parts * self.hk_max
 
     def stats(self) -> Dict[str, float]:
         """Padding / communication accounting for the scaling harness."""
@@ -121,132 +130,200 @@ class SpatialPlan:
             "halo_pad_factor": (self.num_parts ** 2 * self.s_max)
             / max(sent, 1),
             "cut_fraction": int(self.rmask.sum()) / max(E, 1),
+            "hub_rows": int(self.hub_mask.sum()),
+            "hub_rows_padded": self.num_parts * self.hk_max,
+            "build_seconds": self.build_seconds,
         }
 
 
 def build_spatial_plan(g: Graph, num_parts: int, method: str = "fennel",
                        seed: int = 0,
-                       parts: Optional[np.ndarray] = None) -> SpatialPlan:
-    """Partition g and derive the static exchange + local-graph plan."""
+                       parts: Optional[np.ndarray] = None,
+                       hub_k: int = 0) -> SpatialPlan:
+    """Partition g and derive the static exchange + local-graph plan.
+
+    Fully vectorised host build: one stable edge sort per layout plus
+    flat scatters — O(E log E), no per-(part,part) Python loops (the
+    round-2 builder did O(P^2) pair passes plus a full-E scan per part;
+    at 10M edges x P=16 that was minutes of plan build).
+
+    hub_k > 0 replicates up to ``hub_k`` hot SOURCE nodes: a node whose
+    rows are demanded by >= 2 peer parts is cheaper to broadcast once
+    (all_gather rides ICI at full bandwidth) than to ship per-pair —
+    and on power-law graphs hub rows dominate s_max, the PADDED per-pair
+    send size.  Hub rows land after the pairwise halo in the extended
+    index space; cut hub edges read them there.  This is the multi-chip
+    analogue of the dense-hub single-chip plan (the reference's NbAccess
+    load-imbalance study, src/kernel/cuda/binary_reduce_impl.cu:445).
+    """
+    import time as _time
+    t0 = _time.perf_counter()
     s, d = g.host_edges()
     n = g.num_nodes()
+    E = len(s)
     if parts is None:
         parts = make_parts(g, num_parts, method=method, seed=seed)
+    parts = np.asarray(parts, np.int64)
     P_ = num_parts
 
-    owned = [np.nonzero(parts == p)[0] for p in range(P_)]
-    n_owned_max = max(1, max(len(o) for o in owned))
-    local_of = np.zeros(n, np.int64)
-    for p in range(P_):
-        local_of[owned[p]] = np.arange(len(owned[p]))
+    # ---- nodes grouped by part (ascending original id within part)
+    node_order = np.argsort(parts, kind="stable")
+    nb = np.searchsorted(parts[node_order], np.arange(P_ + 1))
+    owned_counts = np.diff(nb)
+    n_owned_max = max(1, int(owned_counts.max()))
+    local_of = np.empty(n, np.int64)
+    local_of[node_order] = (np.arange(n, dtype=np.int64)
+                            - np.repeat(nb[:-1], owned_counts))
 
-    # per-pair sends: rows of part q needed by part p (halo of p owned by q)
-    send_rows = [[None] * P_ for _ in range(P_)]   # [q][p] -> local rows of q
-    for p in range(P_):
-        esel = parts[d] == p
-        ext_src = s[esel]
-        remote = ext_src[parts[ext_src] != p]
-        halo_nodes = np.unique(remote)
-        for q in range(P_):
-            qs = halo_nodes[parts[halo_nodes] == q]
-            send_rows[q][p] = local_of[qs]
-    s_max = max(1, max(len(send_rows[q][p]) for q in range(P_)
-                       for p in range(P_)))
+    sl = s.astype(np.int64)
+    dl = d.astype(np.int64)
+    ep = parts[dl]                 # owning part per edge (dst side)
+    sp = parts[sl]
+    cut_e = sp != ep
 
-    # per-part edge sets + local/remote split sizes
-    part_edges = [np.nonzero(parts[d] == p)[0] for p in range(P_)]
-    is_local = [parts[s[e]] == p for p, e in enumerate(part_edges)]
-    e_max = max(1, max(len(e) for e in part_edges))
-    el_max = max(1, max(int(m.sum()) for m in is_local))
-    er_max = max(1, max(int((~m).sum()) for m in is_local))
+    # ---- hub selection: sources demanded by the most peer parts
+    is_hub = np.zeros(n, bool)
+    if hub_k > 0 and cut_e.any():
+        ec0 = np.nonzero(cut_e)[0]
+        pk = ep[ec0] * np.int64(n) + sl[ec0]       # (dst part, src) pairs
+        uk0 = np.unique(pk)
+        peer_cnt = np.bincount((uk0 % n).astype(np.int64), minlength=n)
+        cand = np.nonzero(peer_cnt >= 2)[0]
+        if cand.size:
+            top = cand[np.argsort(peer_cnt[cand])[::-1][:hub_k]]
+            is_hub[top] = True
+
+    hub_cut_e = cut_e & is_hub[sl]                 # read the hub section
+    pair_cut_e = cut_e & ~is_hub[sl]               # pairwise halo
+
+    # ---- hub table: each part contributes its owned hubs (ascending id)
+    hub_nodes = np.nonzero(is_hub)[0]
+    if hub_nodes.size:
+        horder = np.argsort(parts[hub_nodes] * np.int64(n) + hub_nodes,
+                            kind="stable")
+        hub_nodes = hub_nodes[horder]
+        hq = parts[hub_nodes]
+        hbou = np.searchsorted(hq, np.arange(P_ + 1))
+        hcnts = np.diff(hbou)
+        hk_max = max(1, int(hcnts.max()))
+        hslot = (np.arange(len(hub_nodes), dtype=np.int64)
+                 - np.repeat(hbou[:-1], hcnts))
+        hub_idx = np.zeros((P_, hk_max), np.int32)
+        hub_mask = np.zeros((P_, hk_max), bool)
+        hub_idx.reshape(-1)[hq * hk_max + hslot] = local_of[hub_nodes]
+        hub_mask.reshape(-1)[hq * hk_max + hslot] = True
+        # global hub ext offset (within the hub section) per hub node
+        hub_off = np.full(n, -1, np.int64)
+        hub_off[hub_nodes] = hq * hk_max + hslot
+    else:
+        hk_max = 0
+        hub_idx = np.zeros((P_, 0), np.int32)
+        hub_mask = np.zeros((P_, 0), bool)
+        hub_off = None
+
+    # ---- pairwise halo: unique (dst part, src node) over non-hub cut
+    ec = np.nonzero(pair_cut_e)[0]
+    pair_key = ep[ec] * np.int64(n) + sl[ec]
+    uk = np.unique(pair_key)                        # sorted by (p, u)
+    pu = (uk % n).astype(np.int64)                  # halo node original id
+    pp = (uk // n).astype(np.int64)                 # dst part
+    pq = parts[pu]                                  # owning (src) part
+    # group by (q, p), ascending u within the pair (matches round-2 order)
+    order2 = np.argsort((pq * P_ + pp) * np.int64(n + 1) + pu,
+                        kind="stable")
+    grp_s = (pq * P_ + pp)[order2]
+    gb = np.searchsorted(grp_s, np.arange(P_ * P_ + 1))
+    cnts = np.diff(gb)
+    s_max = max(1, int(cnts.max()) if cnts.size else 0)
+    slot_s = (np.arange(len(uk), dtype=np.int64)
+              - np.repeat(gb[:-1], cnts))
+    send_idx = np.zeros((P_, P_, s_max), np.int32)
+    send_mask = np.zeros((P_, P_, s_max), bool)
+    send_idx.reshape(-1)[grp_s * s_max + slot_s] = \
+        local_of[pu[order2]].astype(np.int32)
+    send_mask.reshape(-1)[grp_s * s_max + slot_s] = True
+    # ext index (per unique pair, in uk order) for edge lookup
+    halo_ext_uk = np.empty(len(uk), np.int64)
+    halo_ext_uk[order2] = n_owned_max + pq[order2] * s_max + slot_s
     halo_max = P_ * s_max
 
-    z_i = lambda *sh: np.zeros(sh, np.int32)
-    z_b = lambda *sh: np.zeros(sh, bool)
-    src_ext, dst_loc = z_i(P_, e_max), z_i(P_, e_max)
-    edge_mask = z_b(P_, e_max)
-    csc_indptr = z_i(P_, n_owned_max + 1)
-    edge_uid = np.full((P_, e_max), -1, np.int32)
-    lsrc, ldst = z_i(P_, el_max), z_i(P_, el_max)
-    lmask = z_b(P_, el_max)
-    luid = np.full((P_, el_max), -1, np.int32)
-    rsrc, rdst = z_i(P_, er_max), z_i(P_, er_max)
-    rmask = z_b(P_, er_max)
-    ruid = np.full((P_, er_max), -1, np.int32)
-    lcnt, rcnt = z_i(P_, n_owned_max), z_i(P_, n_owned_max)
-    send_idx = z_i(P_, P_, s_max)
-    send_mask = z_b(P_, P_, s_max)
-    owned_ids = z_i(P_, n_owned_max)
-    owned_mask = z_b(P_, n_owned_max)
-    in_deg, out_deg = z_i(P_, n_owned_max), z_i(P_, n_owned_max)
-    global_out_deg = np.bincount(s, minlength=n)
+    # ---- per-edge extended src index
+    ext_src_e = np.empty(E, np.int64)
+    loc_e = ~cut_e
+    ext_src_e[loc_e] = local_of[sl[loc_e]]
+    if ec.size:
+        ext_src_e[ec] = halo_ext_uk[np.searchsorted(uk, pair_key)]
+    if hub_off is not None:
+        eh = np.nonzero(hub_cut_e)[0]
+        ext_src_e[eh] = n_owned_max + halo_max + hub_off[sl[eh]]
 
-    for q in range(P_):
-        for p in range(P_):
-            r = send_rows[q][p]
-            send_idx[q, p, :len(r)] = r
-            send_mask[q, p, :len(r)] = True
+    ld = local_of[dl]                               # local dst per edge
 
-    for p in range(P_):
-        o = owned[p]
-        owned_ids[p, :len(o)] = o
-        owned_mask[p, :len(o)] = True
-        out_deg[p, :len(o)] = global_out_deg[o]
-        # extended index: own rows [0, n_owned_max), halo rows at
-        # n_owned_max + q*s_max + send-slot (recv buffer layout)
-        ext_index = np.full(n, -1, np.int64)
-        ext_index[o] = np.arange(len(o))
-        for q in range(P_):
-            r = send_rows[q][p]          # rows of q sent to p
-            if len(r):
-                orig = owned[q][r]
-                ext_index[orig] = n_owned_max + q * s_max + np.arange(len(r))
-        esel = part_edges[p]
-        loc = is_local[p]
-        # stable dst sort of ALL of p's edges (general layout)
-        order = np.argsort(local_of[d[esel]], kind="stable")
-        esel_s = esel[order]
-        ne = len(esel_s)
-        src_ext[p, :ne] = ext_index[s[esel_s]]
-        dst_loc[p, :ne] = local_of[d[esel_s]]
-        # pad edges sit at the end with dst = last row (keeps dst-sorted)
-        if ne < e_max:
-            dst_loc[p, ne:] = max(n_owned_max - 1, 0)
-        edge_mask[p, :ne] = True
-        edge_uid[p, :ne] = esel_s
-        np.cumsum(np.bincount(dst_loc[p], minlength=n_owned_max),
-                  out=csc_indptr[p, 1:])
-        deg = np.bincount(local_of[d[esel_s]], minlength=n_owned_max)
-        in_deg[p] = deg[:n_owned_max]
-        # overlap split layout: local / remote, each dst-sorted
-        e_loc = esel[loc]
-        e_loc = e_loc[np.argsort(local_of[d[e_loc]], kind="stable")]
-        k = len(e_loc)
-        lsrc[p, :k] = ext_index[s[e_loc]]           # < n_owned_max
-        ldst[p, :k] = local_of[d[e_loc]]
-        if k < el_max:
-            ldst[p, k:] = max(n_owned_max - 1, 0)
-        lmask[p, :k] = True
-        luid[p, :k] = e_loc
-        lcnt[p] = np.bincount(local_of[d[e_loc]],
-                              minlength=n_owned_max)[:n_owned_max]
-        e_rem = esel[~loc]
-        e_rem = e_rem[np.argsort(local_of[d[e_rem]], kind="stable")]
-        k = len(e_rem)
-        rsrc[p, :k] = ext_index[s[e_rem]] - n_owned_max  # halo-buffer index
-        rdst[p, :k] = local_of[d[e_rem]]
-        if k < er_max:
-            rdst[p, k:] = max(n_owned_max - 1, 0)
-        rmask[p, :k] = True
-        ruid[p, :k] = e_rem
-        rcnt[p] = np.bincount(local_of[d[e_rem]],
-                              minlength=n_owned_max)[:n_owned_max]
+    def _layout(sel_mask, width_pad, src_vals):
+        """Scatter the selected edges into (P_, W) padded dst-sorted rows.
+        Returns (srcA, dstA, maskA, uidA, cntA, W)."""
+        esel = np.nonzero(sel_mask)[0]
+        if esel.size:
+            order = np.argsort(ep[esel] * np.int64(n_owned_max + 1)
+                               + ld[esel], kind="stable")
+            esel = esel[order]
+        ebou = np.searchsorted(ep[esel], np.arange(P_ + 1))
+        ecnts = np.diff(ebou)
+        W = max(1, int(ecnts.max()) if ecnts.size else 0)
+        if width_pad is not None:
+            W = width_pad
+        pos = (np.arange(len(esel), dtype=np.int64)
+               - np.repeat(ebou[:-1], ecnts))
+        flat = ep[esel] * W + pos
+        srcA = np.zeros((P_, W), np.int32)
+        dstA = np.full((P_, W), max(n_owned_max - 1, 0), np.int32)
+        maskA = np.zeros((P_, W), bool)
+        uidA = np.full((P_, W), -1, np.int32)
+        srcA.reshape(-1)[flat] = src_vals[esel].astype(np.int32)
+        dstA.reshape(-1)[flat] = ld[esel].astype(np.int32)
+        maskA.reshape(-1)[flat] = True
+        uidA.reshape(-1)[flat] = esel.astype(np.int32)
+        cnt = np.bincount(ep[esel] * np.int64(n_owned_max) + ld[esel],
+                          minlength=P_ * n_owned_max
+                          ).reshape(P_, n_owned_max).astype(np.int32)
+        return srcA, dstA, maskA, uidA, cnt, W
 
-    return SpatialPlan(P_, n_owned_max, halo_max, s_max, e_max, el_max,
+    all_mask = np.ones(E, bool)
+    src_ext, dst_loc, edge_mask, edge_uid, in_deg_a, e_max = \
+        _layout(all_mask, None, ext_src_e)
+    lsrc, ldst, lmask, luid, lcnt, el_max = _layout(loc_e, None, ext_src_e)
+    # remote split reads the EXCHANGE buffer: [pairwise halo || hub rows]
+    rext = ext_src_e - n_owned_max
+    rsrc, rdst, rmask, ruid, rcnt, er_max = _layout(cut_e, None, rext)
+
+    # csc_indptr over the PADDED rows (pad edges count in the last row so
+    # indptr[-1] == e_max, as Graph requires; edge_mask zeroes them out)
+    cnt_full = np.bincount(
+        (np.arange(P_, dtype=np.int64)[:, None] * n_owned_max
+         + dst_loc).reshape(-1),
+        minlength=P_ * n_owned_max).reshape(P_, n_owned_max)
+    csc_indptr = np.zeros((P_, n_owned_max + 1), np.int32)
+    np.cumsum(cnt_full, axis=1, out=csc_indptr[:, 1:])
+
+    # ---- node bookkeeping
+    owned_ids = np.zeros((P_, n_owned_max), np.int32)
+    owned_mask = np.zeros((P_, n_owned_max), bool)
+    out_deg = np.zeros((P_, n_owned_max), np.int32)
+    flat_n = parts[node_order] * n_owned_max + local_of[node_order]
+    owned_ids.reshape(-1)[flat_n] = node_order.astype(np.int32)
+    owned_mask.reshape(-1)[flat_n] = True
+    global_out_deg = np.bincount(sl, minlength=n)
+    out_deg.reshape(-1)[flat_n] = \
+        global_out_deg[node_order].astype(np.int32)
+
+    plan = SpatialPlan(P_, n_owned_max, halo_max, s_max, e_max, el_max,
                        er_max, src_ext, dst_loc, edge_mask, csc_indptr,
-                       edge_uid, lsrc, ldst, lmask, luid, rsrc, rdst, rmask,
-                       ruid, lcnt, rcnt, send_idx, send_mask, owned_ids,
-                       owned_mask, in_deg, out_deg)
+                       edge_uid, lsrc, ldst, lmask, luid, rsrc, rdst,
+                       rmask, ruid, lcnt, rcnt, send_idx, send_mask,
+                       owned_ids, owned_mask, in_deg_a, out_deg,
+                       hub_idx, hub_mask, hk_max,
+                       _time.perf_counter() - t0)
+    return plan
 
 
 # ---------------------------------------------------------------------------
@@ -298,14 +375,27 @@ def shard_edata(plan: SpatialPlan, w: np.ndarray, fill=0,
 # already dropped)
 # ---------------------------------------------------------------------------
 def halo_exchange(x: Array, send_idx: Array, send_mask: Array,
-                  axis: str = "node") -> Array:
+                  axis: str = "node",
+                  hub_idx: Optional[Array] = None,
+                  hub_mask: Optional[Array] = None) -> Array:
     """Gather send rows, all_to_all over ICI, return the (halo_max, ...)
     receive buffer.  AD transposes the all_to_all automatically (the
-    backward halo push the reference would do with KVStore push)."""
+    backward halo push the reference would do with KVStore push).
+
+    With hub arrays (hub replication), each part additionally contributes
+    its owned hub rows to ONE all_gather and the result is appended:
+    [pairwise halo || hub rows] — remote edges index this concatenated
+    buffer.  The all_gather transposes to psum_scatter in AD."""
     sends = x[send_idx] * send_mask.reshape(
         send_mask.shape + (1,) * (x.ndim - 1)).astype(x.dtype)
     halo = jax.lax.all_to_all(sends, axis, 0, 0, tiled=False)
-    return halo.reshape((-1,) + x.shape[1:])
+    halo = halo.reshape((-1,) + x.shape[1:])
+    if hub_idx is not None and hub_idx.shape[-1] > 0:
+        contrib = x[hub_idx] * hub_mask.reshape(
+            hub_mask.shape + (1,) * (x.ndim - 1)).astype(x.dtype)
+        hub = jax.lax.all_gather(contrib, axis, axis=0, tiled=True)
+        halo = jnp.concatenate([halo, hub], axis=0)
+    return halo
 
 
 def extend(x: Array, halo: Array) -> Array:
@@ -348,7 +438,8 @@ def make_spatial_apply(plan: SpatialPlan, mesh: Mesh, fn: Callable,
 
         def exchange(h):
             return halo_exchange(h, dev1["send_idx"], dev1["send_mask"],
-                                 axis)
+                                 axis, dev1.get("hub_idx"),
+                                 dev1.get("hub_mask"))
 
         out = fn(params, g, exchange, x, *extras)
         return jax.tree.map(lambda o: o[None], out)
@@ -395,7 +486,8 @@ def make_halo_gspmm(plan: SpatialPlan, mesh: Mesh, axis: str = "node",
         base = "sum" if reduce_op == "mean" else reduce_op
 
         if not overlap:
-            halo = halo_exchange(x, d["send_idx"], d["send_mask"], axis)
+            halo = halo_exchange(x, d["send_idx"], d["send_mask"], axis,
+                                 d.get("hub_idx"), d.get("hub_mask"))
             x_ext = extend(x, halo)
             msg = _wmul(x_ext[d["src_ext"]],
                         None if w_l is None else
@@ -406,7 +498,8 @@ def make_halo_gspmm(plan: SpatialPlan, mesh: Mesh, axis: str = "node",
         else:
             # issue the collective FIRST; the local reduce below shares no
             # data with it, so the scheduler overlaps the two.
-            halo = halo_exchange(x, d["send_idx"], d["send_mask"], axis)
+            halo = halo_exchange(x, d["send_idx"], d["send_mask"], axis,
+                                 d.get("hub_idx"), d.get("hub_mask"))
             out_l = seg.segment_reduce(
                 base, _wmul(x[d["lsrc"]], w_l), d["ldst"], n,
                 indices_are_sorted=True, mask=d["lmask"])
