@@ -380,22 +380,37 @@ def send(g: Graph, message_func: MessageFunc) -> None:
 
 def recv(g: Graph, v, reduce_func: ReduceFunc) -> None:
     """Reduce staged messages into nodes ``v`` (reference:
-    DGLGraph.recv, graph.py:2810)."""
+    DGLGraph.recv, graph.py:2810).
+
+    UDF reducers ride the same padded mailbox as ``update_all`` (the
+    degree-bucketing scheduler's stand-in, reference:
+    python/dgl/runtime/degree_bucketing.py:12); rows outside ``v`` keep
+    their previous values."""
     msgs = getattr(g, "_staged_messages", None)
     if msgs is None:
         raise RuntimeError("recv() without a prior send()")
-    if not isinstance(reduce_func, BuiltinReduce):
-        raise NotImplementedError("recv supports builtin reducers; use "
-                                  "update_all for UDF reducers")
-    r = reduce_func
-    out = segment_ops.segment_reduce(
-        r.reducer, msgs[r.msg_field], g.dst, g.num_dst_nodes,
-        indices_are_sorted=True, mask=g.edge_mask)
     v = jnp.asarray(v)
     keep = jnp.zeros((g.num_dst_nodes,), bool).at[v].set(True)
-    prev = g._node_frames[-1].get(r.out_field)
-    if prev is not None and prev.shape == out.shape:
-        mask = keep.reshape((-1,) + (1,) * (out.ndim - 1))
-        out = jnp.where(mask, out, prev)
-    g._node_frames[-1][r.out_field] = out
+
+    def _merge(field, out):
+        prev = g._node_frames[-1].get(field)
+        if prev is not None and prev.shape == out.shape:
+            mask = keep.reshape((-1,) + (1,) * (out.ndim - 1))
+            out = jnp.where(mask, out, prev)
+        g._node_frames[-1][field] = out
+
+    if isinstance(reduce_func, BuiltinReduce):
+        r = reduce_func
+        out = segment_ops.segment_reduce(
+            r.reducer, msgs[r.msg_field], g.dst, g.num_dst_nodes,
+            indices_are_sorted=True, mask=g.edge_mask)
+        _merge(r.out_field, out)
+    else:
+        mailbox, mask, deg = build_mailbox(g, msgs)
+        nb = NodeBatch(dict(g._node_frames[-1]), mailbox, mask, deg)
+        res = reduce_func(nb)
+        if not isinstance(res, dict):
+            raise TypeError("reduce UDF must return a dict")
+        for k, out in res.items():
+            _merge(k, out)
     g._staged_messages = None

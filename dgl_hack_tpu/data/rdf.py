@@ -44,13 +44,21 @@ def synthetic_rdf(name: str, scale: float = 1.0,
     rng = np.random.default_rng(seed)
     labels_all = rng.integers(0, C, n).astype(np.int32)
     src = rng.integers(0, n, E).astype(np.int32)
-    ety = rng.integers(0, R, E).astype(np.int32)
-    # relation r maps class c -> class (c + r) % C: structure R-GCN learns
-    want = (labels_all[src] + ety) % C
-    by_class = [np.where(labels_all == c)[0] for c in range(C)]
-    pick = rng.integers(0, 1 << 30, E)
-    dst = np.array([by_class[w][pick[i] % len(by_class[w])]
-                    for i, w in enumerate(want)], dtype=np.int32)
+    dst = rng.integers(0, n, E).astype(np.int32)
+    # Relation types are drawn from a CLASS-CONDITIONAL profile of the
+    # dst node: with prob 0.9 the relation id is ≡ class (mod C), else
+    # uniform.  This makes class LOCALLY identifiable from the incoming
+    # relation histogram — matching real RDF data, where class correlates
+    # with local predicate types (e.g. AIFB affiliation edges) — unlike
+    # the earlier "(c + r) mod C" rule, whose labeling had an exact
+    # global shift symmetry: only nodes within GNN-depth hops of a train
+    # anchor could be classified, capping test accuracy near chance.
+    c_dst = labels_all[dst].astype(np.int64)
+    k = rng.integers(0, max(R // C, 1), E).astype(np.int64)
+    ety_sig = (c_dst + C * k) % R
+    ety_rnd = rng.integers(0, R, E).astype(np.int64)
+    use_sig = rng.random(E) < 0.9
+    ety = np.where(use_sig, ety_sig, ety_rnd).astype(np.int32)
     # symmetrize with inverse relations, like the reference's RDF loaders
     src2 = np.concatenate([src, dst])
     dst2 = np.concatenate([dst, src])

@@ -178,6 +178,33 @@ def test_send_recv(rng):
     np.testing.assert_allclose(out[:3], ref[:3], rtol=1e-4, atol=1e-5)
 
 
+def test_send_recv_udf_reducer(rng):
+    """recv() with a UDF reducer rides the padded mailbox (reference
+    degree-buckets UDF reduces, python/dgl/runtime/degree_bucketing.py:12);
+    rows outside v keep previous values."""
+    from dgl_hack_tpu import fn
+    g, src, dst = random_graph(rng, num_edges=30)
+    n = g.num_nodes()
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    g.ndata["h"] = jnp.asarray(x)
+    g.ndata["agg"] = jnp.full((n, 3), 7.0)
+    g.send(fn.copy_u("h", "m"))
+
+    def udf_max(nodes):
+        m = jnp.where(nodes.mask[..., None], nodes.mailbox["m"], -1e30)
+        out = m.max(axis=1)
+        return {"agg": jnp.where(nodes.degrees[:, None] > 0, out, 0.0)}
+
+    v = np.array([0, 1, 2])
+    g.recv(v, udf_max)
+    out = np.asarray(g.ndata["agg"])
+    from utils import oracle_gspmm
+    ref = oracle_gspmm(src, dst, n, "copy_lhs", "max", x, None)
+    np.testing.assert_allclose(out[:3], ref[:3], rtol=1e-4, atol=1e-5)
+    # untouched rows keep the previous value
+    np.testing.assert_allclose(out[3:], 7.0)
+
+
 def test_pull_push(rng):
     from dgl_hack_tpu import fn
     g, src, dst = random_graph(rng, num_edges=40)

