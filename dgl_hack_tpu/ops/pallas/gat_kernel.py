@@ -323,7 +323,8 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     the per-dst subtrahend the backward pass must reuse."""
     num_rows, tr, te, wc, C = meta[:5]
     flat = bool(meta[5]) if len(meta) > 5 else False
-    gidx_s, perm_s, lr_s, win_s, row0_s, cover_s = plan_arrays
+    gather_rows = int(meta[6]) if len(meta) > 6 else 0
+    gidx_s, perm_s, lr_s, win_s, row0_s, cover_s, grow0_s = plan_arrays
     H = er.shape[1]
     HD = z.shape[1] - H
     D = HD // H
@@ -364,7 +365,7 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     if flat and C == 1:
         # scan-free single-kernel path (flat plan: absolute windows,
         # row0 = 0, wc covers all output windows)
-        gidx, perm, lr, win, _, cover = (a[0] for a in plan_arrays)
+        gidx, perm, lr, win, _, cover, _ = (a[0] for a in plan_arrays)
         zg = ztab[gidx]
         wg = None
         if w is not None:
@@ -394,8 +395,16 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     er_full = er_pad[:pad_rows]
 
     def body(acc, xs):
-        gidx, perm, lr, win, row0, cover = xs
-        zg = ztab[gidx]
+        gidx, perm, lr, win, row0, cover, grow0 = xs
+        if gather_rows:
+            # src-bucketed chunk: gather z from a small slice (fast-gather
+            # regime, see spmm_kernel.SegmentPlan docstring)
+            ztbl = jax.lax.dynamic_slice(
+                ztab, (grow0, 0),
+                (min(gather_rows, ztab.shape[0]), ztab.shape[1]))
+            zg = ztbl[gidx]
+        else:
+            zg = ztab[gidx]
         wg = None
         if w is not None:
             wg = (w[jnp.minimum(perm, E - 1)].astype(jnp.float32)

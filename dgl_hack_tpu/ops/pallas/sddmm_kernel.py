@@ -158,10 +158,15 @@ def build_sddmm_plan(dst_internal: np.ndarray, src_internal: np.ndarray,
 # kernel
 # ---------------------------------------------------------------------------
 def _sddmm_kernel(wf_ref, lr_ref, *rest, tr: int, te: int, span: int,
-                  op: str, lhs_kind: str):
+                  op: str, lhs_kind: str, dot_d: int = 0):
     """One (feature-tile, block) step.  rest = [m_ref?] + span*[y_ref] +
     [out_ref].  m slots and the y windows combine as
-    op(m, S_sel @ Y) where S_sel is the exact one-hot row expansion."""
+    op(m, S_sel @ Y) where S_sel is the exact one-hot row expansion.
+
+    dot_d: lanes per head for op='dot' (multi-head dot contracts each
+    D-lane group separately; the head-sum rides an exact one-hot (ft, H)
+    matmul on the MXU — reference broadcast-dot parity,
+    src/kernel/binary_reduce.cc:96 CalcBcastInfo)."""
     if lhs_kind == "none":
         y_refs = rest[:span]
         out_ref = rest[span]
@@ -193,7 +198,21 @@ def _sddmm_kernel(wf_ref, lr_ref, *rest, tr: int, te: int, span: int,
         out = m / y_sel
     elif op == "dot":
         f = pl.program_id(0)
-        part = jnp.sum(m * y_sel, axis=1, keepdims=True)  # (te, 1) f32
+        prod = m * y_sel                                  # (te, ft) f32
+        ft = prod.shape[1]
+        if dot_d:
+            # multi-head: head of lane l (in this tile) = (f*ft + l)//D;
+            # exact one-hot (ft, H) matmul sums each head's lanes
+            H = out_ref.shape[1]
+            lane_h = (f * ft
+                      + jax.lax.broadcasted_iota(jnp.int32, (ft, H), 0)
+                      ) // dot_d
+            head = jax.lax.broadcasted_iota(jnp.int32, (ft, H), 1)
+            R = (lane_h == head).astype(jnp.float32)
+            part = jnp.dot(prod, R, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            part = jnp.sum(prod, axis=1, keepdims=True)   # (te, 1) f32
 
         @pl.when(f == 0)
         def _():
@@ -210,15 +229,17 @@ def _sddmm_kernel(wf_ref, lr_ref, *rest, tr: int, te: int, span: int,
 
 def _sddmm_call(meta, lhs: Optional[Array], y: Array, lr: Array,
                 w_ids: Array, gather_idx: Array, op: str,
-                lhs_kind: str) -> Array:
-    """Run the kernel over all blocks; returns (nb*te, F) or (nb*te, 1)
-    for dot, in slot (== padded internal edge) order."""
+                lhs_kind: str, dot_d: int = 0) -> Array:
+    """Run the kernel over all blocks; returns (nb*te, F) or (nb*te, H)
+    for dot (H = F // dot_d heads), in slot (== padded internal edge)
+    order."""
     E, num_dst, tr, te, nb = meta
     span = te // tr + 1
     F = lhs.shape[1] if lhs_kind != "none" else y.shape[1]
     ft = _pick_ft(F)
     nf = max(1, F // ft)
     wmax = max(1, -(-num_dst // tr))
+    H = max(1, F // dot_d) if (op == "dot" and dot_d) else 1
 
     if lhs_kind == "u":
         m_in = lhs[gather_idx]                       # (nb*te, F)
@@ -251,8 +272,8 @@ def _sddmm_call(meta, lhs: Optional[Array], y: Array, lr: Array,
                 lambda f, b, wf, k=0: (wf[b * span + k], f), k=k)))
         operands.append(y)
     if op == "dot":
-        out_spec = pl.BlockSpec((te, 1), lambda f, b, wf: (b, 0))
-        out_shape = jax.ShapeDtypeStruct((nb * te, 1), jnp.float32)
+        out_spec = pl.BlockSpec((te, H), lambda f, b, wf: (b, 0))
+        out_shape = jax.ShapeDtypeStruct((nb * te, H), jnp.float32)
     else:
         out_spec = pl.BlockSpec((te, ft), lambda f, b, wf: (b, f))
         out_shape = jax.ShapeDtypeStruct((nb * te, F), jnp.float32)
@@ -264,7 +285,8 @@ def _sddmm_call(meta, lhs: Optional[Array], y: Array, lr: Array,
     )
     return pl.pallas_call(
         functools.partial(_sddmm_kernel, tr=tr, te=te, span=span, op=op,
-                          lhs_kind=lhs_kind),
+                          lhs_kind=lhs_kind,
+                          dot_d=dot_d if H > 1 else 0),
         grid_spec=grid,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -276,24 +298,24 @@ def _sddmm_call(meta, lhs: Optional[Array], y: Array, lr: Array,
 # ---------------------------------------------------------------------------
 # fused op with coupled VJP
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _gsddmm_fused(meta, spmm_meta, op, lhs_kind, mode, lhs, y,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _gsddmm_fused(meta, spmm_meta, op, lhs_kind, mode, dot_d, lhs, y,
                   *arrays):
     gather_idx, lr, w_ids = arrays[:3]
     out = _sddmm_call(meta, lhs if lhs_kind != "none" else None, y, lr,
-                      w_ids, gather_idx, op, lhs_kind)
+                      w_ids, gather_idx, op, lhs_kind, dot_d)
     E = meta[0]
     return out[:E]
 
 
-def _gsddmm_fused_fwd(meta, spmm_meta, op, lhs_kind, mode, lhs, y,
+def _gsddmm_fused_fwd(meta, spmm_meta, op, lhs_kind, mode, dot_d, lhs, y,
                       *arrays):
-    out = _gsddmm_fused(meta, spmm_meta, op, lhs_kind, mode, lhs, y,
-                        *arrays)
+    out = _gsddmm_fused(meta, spmm_meta, op, lhs_kind, mode, dot_d, lhs,
+                        y, *arrays)
     return out, (lhs, y, arrays)
 
 
-def _gsddmm_fused_bwd(meta, spmm_meta, op, lhs_kind, mode, res, g):
+def _gsddmm_fused_bwd(meta, spmm_meta, op, lhs_kind, mode, dot_d, res, g):
     """All reductions ride the gspmm plan kernels (no scatter):
     d_lhs ('u') reduces edge cotangents to src over the REV plan,
     dy reduces to dst over the FWD plan."""
@@ -322,22 +344,25 @@ def _gsddmm_fused_bwd(meta, spmm_meta, op, lhs_kind, mode, res, g):
     elif op == "mul":
         # d_lhs[e] = g[e] * y[dst_e]; dy[v] = sum_{e->v} g[e]*lhs_e
         dlhs = g * _gsddmm_fused(meta, spmm_meta, "copy_rhs", "none",
-                                 mode, lhs, y, *arrays)
+                                 mode, 0, lhs, y, *arrays)
         dy = (fwd_reduce(lhs, g) if lhs_kind == "u"
               else fwd_reduce(None, g * lhs.astype(jnp.float32)))
     elif op == "div":
         inv = 1.0 / yf
         dlhs = g * _gsddmm_fused(meta, spmm_meta, "copy_rhs", "none",
-                                 mode, lhs, inv, *arrays)
+                                 mode, 0, lhs, inv, *arrays)
         num = (fwd_reduce(lhs, g) if lhs_kind == "u"
                else fwd_reduce(None, g * lhs.astype(jnp.float32)))
         dy = -num * inv * inv
     elif op == "dot":
-        # g is (E, 1): scalar per edge
-        dlhs = g * _gsddmm_fused(meta, spmm_meta, "copy_rhs", "none",
-                                 mode, lhs, y, *arrays)
-        dy = (fwd_reduce(lhs, g) if lhs_kind == "u"
-              else fwd_reduce(None, g * lhs.astype(jnp.float32)))
+        # g is (E, H): one scalar per head; expand to lanes (D per head)
+        F = y.shape[1]
+        gl = g if g.shape[1] == F else jnp.repeat(
+            g, dot_d if dot_d else F, axis=1, total_repeat_length=F)
+        dlhs = gl * _gsddmm_fused(meta, spmm_meta, "copy_rhs", "none",
+                                  mode, 0, lhs, y, *arrays)
+        dy = (fwd_reduce(lhs, gl) if lhs_kind == "u"
+              else fwd_reduce(None, gl * lhs.astype(jnp.float32)))
     else:
         raise ValueError(op)
 
@@ -356,7 +381,7 @@ def _gsddmm_fused_bwd(meta, spmm_meta, op, lhs_kind, mode, res, g):
 
 _gsddmm_fused.defvjp(_gsddmm_fused_fwd, _gsddmm_fused_bwd)
 
-_gsddmm_fused_jit = jax.jit(_gsddmm_fused, static_argnums=(0, 1, 2, 3, 4))
+_gsddmm_fused_jit = jax.jit(_gsddmm_fused, static_argnums=(0, 1, 2, 3, 4, 5))
 
 
 def gsddmm_pallas(g, op: str, lhs_data: Optional[Array], rhs_data: Array,
@@ -373,8 +398,10 @@ def gsddmm_pallas(g, op: str, lhs_data: Optional[Array], rhs_data: Array,
     lhs2 = (lhs_data.reshape(shape_l[0], -1) if lhs_data is not None
             else jnp.zeros((0, y2.shape[1]), y2.dtype))
     lhs_kind = "none" if op == "copy_rhs" else lhs_target
+    # multi-head dot: contract the last dim of (N, H, D) operands only
+    dot_d = int(shape_r[-1]) if (op == "dot" and len(shape_r) > 2) else 0
     out = _gsddmm_fused_jit(meta, g.spmm_plan_meta, op, lhs_kind, mode,
-                            lhs2, y2, *arrays)
+                            dot_d, lhs2, y2, *arrays)
     E = meta[0]
     ov_pos, ov_src, ov_dst = g.sddmm_plan_arrays[3:6]
     if ov_pos.shape[0]:
@@ -388,9 +415,15 @@ def gsddmm_pallas(g, op: str, lhs_data: Optional[Array], rhs_data: Array,
             mv = (lhs2[ov_src] if lhs_kind == "u"
                   else lhs2[jnp.minimum(ov_pos, lhs2.shape[0] - 1)]
                   ).astype(jnp.float32)
+
+            def _dot_patch():
+                p = mv * yv
+                if dot_d:      # per-head contraction
+                    return p.reshape(p.shape[0], -1, dot_d).sum(-1)
+                return jnp.sum(p, -1, keepdims=True)
             vals = {"add": lambda: mv + yv, "sub": lambda: mv - yv,
                     "mul": lambda: mv * yv, "div": lambda: mv / yv,
-                    "dot": lambda: jnp.sum(mv * yv, -1, keepdims=True),
+                    "dot": _dot_patch,
                     }[op]()
         out = out.at[ov_pos].set(vals, mode="drop")
     if op == "dot":

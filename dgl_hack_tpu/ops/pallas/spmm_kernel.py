@@ -62,12 +62,25 @@ FLAT_MAX_SLOTS = FLAT_MAX_BYTES // (128 * 4)
 class SegmentPlan(NamedTuple):
     """Host-built uniform blocking plan for one direction.
 
-    gather_idx (C, BC*TE) int32  precomposed node index per slot (pad 0)
+    gather_idx (C, BC*TE) int32  precomposed node index per slot (pad 0);
+                                 BUCKET-LOCAL (idx - grow0[c]) when
+                                 gather_rows > 0
     perm       (C, BC*TE) int32  slot -> edge id (sentinel E; for weights)
     local_row  (C, BC, TE) int32 row - window*TR (sentinel TR)
     window     (C, BC)    int32  chunk-rebased window per block, non-decr.
     row0       (C,)       int32  output row offset (w0 * TR) per chunk
     cover      (C, WC)    bool   window has blocks in this chunk
+    grow0      (C,)       int32  gather-table row offset per chunk (src
+                                 bucketing: chunk c gathers from
+                                 x[grow0[c] : grow0[c]+gather_rows])
+
+    gather_rows > 0 marks a SRC-BUCKETED plan: each chunk's sources fall
+    in one ``gather_rows``-row bucket and the driver gathers from a
+    dynamic_slice of x.  Measured v5e (tools/microbench_bucket.py): the
+    gather engine runs 2.07-2.11 ns/row from a <=64 MB slice of a 512 MB
+    table (slice start data-dependent) vs 4.68 from the full table — XLA
+    gathers at the OPERAND's physical extent, so shrinking the slice is
+    a free 2.2x on every gather-bound plan.
     """
     gather_idx: np.ndarray
     perm: np.ndarray
@@ -80,23 +93,28 @@ class SegmentPlan(NamedTuple):
     te: int
     wc: int
     flat: bool = False
+    grow0: Optional[np.ndarray] = None
+    gather_rows: int = 0
 
     @property
     def num_chunks(self) -> int:
         return self.perm.shape[0]
 
     def device_arrays(self) -> Tuple[Array, ...]:
+        g0 = self.grow0 if self.grow0 is not None \
+            else np.zeros(self.perm.shape[0], np.int32)
         return (jnp.asarray(self.gather_idx), jnp.asarray(self.perm),
                 jnp.asarray(self.local_row), jnp.asarray(self.window),
-                jnp.asarray(self.row0), jnp.asarray(self.cover))
+                jnp.asarray(self.row0), jnp.asarray(self.cover),
+                jnp.asarray(g0))
 
     @property
     def static_meta(self):
         return (self.num_rows, self.tr, self.te, self.wc, self.num_chunks,
-                self.flat)
+                self.flat, self.gather_rows)
 
 
-N_PLAN_ARRAYS = 6
+N_PLAN_ARRAYS = 7
 
 
 def flat_plans_fit(plan_meta, plan_arrays, width_words: int) -> bool:
@@ -113,13 +131,111 @@ def flat_plans_fit(plan_meta, plan_arrays, width_words: int) -> bool:
     return True
 
 
+def _build_bucketed_plan(row_sorted: np.ndarray, end_ids: np.ndarray,
+                         num_rows: int, gather_n: int, tr: int, te: int,
+                         bucket_rows: int) -> SegmentPlan:
+    """Src-bucketed chunked plan: chunk c's sources all fall in ONE
+    ``bucket_rows``-row range of the gather table, so the driver gathers
+    from a dynamic_slice — the gather engine runs ~2.2x faster from a
+    <=64 MB operand (KERNELS.md round-3 bucket study).  Edges are
+    bucket-major, dst-window-sorted within each bucket; windows are
+    ABSOLUTE and chunks accumulate via the aliased-accumulator kernel.
+    Cost: blocks fragment at (bucket x window) granularity — profitable
+    when mean edges per non-empty cell >> te/2."""
+    E = row_sorted.shape[0]
+    B = bucket_rows
+    K = max(1, -(-gather_n // B))
+    row0s = np.minimum(np.arange(K, dtype=np.int64) * B,
+                       max(gather_n - B, 0))
+    ends64 = end_ids.astype(np.int64)
+    bkt = np.minimum(ends64 // B, K - 1)
+    # clamped last bucket: rows in [gather_n - B, gather_n) are covered
+    order = np.argsort(bkt, kind="stable")     # rows stay sorted in-bucket
+    rows_o = row_sorted[order].astype(np.int64)
+    ends_o = ends64[order]
+    bkt_o = bkt[order]
+    bb = np.searchsorted(bkt_o, np.arange(K + 1))
+
+    blk_win, blk_start, blk_cnt, blk_bkt = [], [], [], []
+    for k in range(K):
+        lo, hi = int(bb[k]), int(bb[k + 1])
+        if hi == lo:
+            continue
+        w = rows_o[lo:hi] // tr
+        uw, idx0, cnt = np.unique(w, return_index=True, return_counts=True)
+        nb = -(-cnt // te)
+        bw = np.repeat(uw, nb)
+        in_w = (np.arange(int(nb.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(nb) - nb, nb))
+        blk_win.append(bw)
+        blk_start.append(lo + np.repeat(idx0, nb) + in_w * te)
+        blk_cnt.append(np.minimum(te, np.repeat(cnt, nb) - in_w * te))
+        blk_bkt.append(np.full(len(bw), k, np.int64))
+    if not blk_win:
+        z = np.zeros((0, te), np.int32)
+        return SegmentPlan(z, z, np.zeros((0, 1, te), np.int32),
+                           np.zeros((0, 1), np.int32),
+                           np.zeros(0, np.int32), np.zeros((0, 1), bool),
+                           num_rows, tr, te, 1, False,
+                           np.zeros(0, np.int32), B)
+    blk_win = np.concatenate(blk_win)
+    blk_start = np.concatenate(blk_start)
+    blk_cnt = np.concatenate(blk_cnt)
+    blk_bkt = np.concatenate(blk_bkt)
+    n_blocks = len(blk_win)
+
+    # profitability: bucketing fragments blocks at (bucket x window)
+    # granularity; the 2.2x gather-rate win only pays while the slot
+    # blow-up stays under ~1.7x the unbucketed plan's.  None -> caller
+    # falls through to the unbucketed builder.
+    uw_all, cnt_all = np.unique(rows_o // tr, return_counts=True)
+    n_blocks_unb = int((-(-cnt_all // te)).sum())
+    if n_blocks > 1.7 * max(n_blocks_unb, 1):
+        return None
+
+    # per-slot tables for every block at once
+    offs = blk_start[:, None] + np.arange(te, dtype=np.int64)[None, :]
+    slot_ok = np.arange(te, dtype=np.int64)[None, :] < blk_cnt[:, None]
+    offs_c = np.minimum(offs, E - 1)
+    perm_all = np.where(slot_ok, order[offs_c], E).astype(np.int32)
+    spread = (offs * np.int64(2654435761)) % B
+    gidx_all = np.where(slot_ok, ends_o[offs_c] - row0s[blk_bkt][:, None],
+                        spread).astype(np.int32)
+    lr_all = np.where(slot_ok, rows_o[offs_c] - blk_win[:, None] * tr,
+                      tr).astype(np.int32)
+
+    # chunk = bucket (only non-empty ones), padded to uniform bc
+    ub, ub0, ubc = np.unique(blk_bkt, return_index=True, return_counts=True)
+    C = len(ub)
+    bc = max(8, -(-int(ubc.max()) // 8) * 8)
+    gather_idx = np.zeros((C, bc * te), np.int32)
+    perm = np.full((C, bc * te), E, dtype=np.int32)
+    local_row = np.full((C, bc, te), tr, dtype=np.int32)
+    window = np.zeros((C, bc), dtype=np.int32)
+    row0 = np.zeros(C, dtype=np.int32)          # windows are absolute
+    cover = np.zeros((C, 1), bool)
+    grow0 = row0s[ub].astype(np.int32)
+    for c in range(C):
+        b0, b1 = int(ub0[c]), int(ub0[c]) + int(ubc[c])
+        nb_ = b1 - b0
+        window[c, :nb_] = blk_win[b0:b1]
+        window[c, nb_:] = int(blk_win[b1 - 1])   # pad blocks: last window
+        gather_idx[c, :nb_ * te] = gidx_all[b0:b1].reshape(-1)
+        perm[c, :nb_ * te] = perm_all[b0:b1].reshape(-1)
+        local_row[c, :nb_] = lr_all[b0:b1]
+    W = max(1, -(-num_rows // tr))
+    return SegmentPlan(gather_idx, perm, local_row, window, row0, cover,
+                       num_rows, tr, te, W, False, grow0, B)
+
+
 def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
                        end_ids: np.ndarray, num_rows: int,
                        tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
                        bc: int = DEFAULT_BC, wc: int = DEFAULT_WC,
                        gather_n: Optional[int] = None,
                        flat="auto",
-                       flat_max_slots: int = FLAT_MAX_SLOTS) -> SegmentPlan:
+                       flat_max_slots: int = FLAT_MAX_SLOTS,
+                       bucket_rows: Optional[int] = None) -> SegmentPlan:
     """Pack row-sorted edges into uniform (window, block, chunk) tiles.
 
     end_ids: (E,) the *other* endpoint per edge in this direction's sorted
@@ -143,6 +259,11 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
     E = row_sorted.shape[0]
     if gather_n is None:
         gather_n = int(end_ids.max()) + 1 if E else 1
+    if bucket_rows is not None and gather_n > bucket_rows and E:
+        bp = _build_bucketed_plan(row_sorted, end_ids, num_rows,
+                                  gather_n, tr, te, bucket_rows)
+        if bp is not None:       # None: cell fragmentation unprofitable
+            return bp
     W = max(1, -(-num_rows // tr))
     win_starts = indptr[np.minimum(np.arange(W) * tr, num_rows)].astype(np.int64)
     win_ends = indptr[np.minimum((np.arange(W) + 1) * tr, num_rows)].astype(np.int64)
@@ -580,7 +701,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
     gather at all (used by the sddmm VJPs to reduce edge cotangents)."""
     num_rows, tr, te, wc, C = static_meta[:5]
     flat = bool(static_meta[5]) if len(static_meta) > 5 else False
-    gidx_s, perm_s, lr_s, win_s, row0_s, cover_s = plan_arrays
+    gather_rows = int(static_meta[6]) if len(static_meta) > 6 else 0
+    gidx_s, perm_s, lr_s, win_s, row0_s, cover_s, grow0_s = plan_arrays
     F = weights.shape[1] if node_vals is None else node_vals.shape[1]
     fill = jnp.float32(0.0 if combine == "add" else MINMAX_NEG)
     out_len = wc * tr
@@ -619,7 +741,7 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         # single kernel over all blocks, absolute windows, no accumulator
         # (the scan's per-chunk dynamic-slice glue measured ~10 ns/slot —
         # as costly as the gather itself)
-        gidx, perm, lr, win, _, cover = (a[0] for a in plan_arrays)
+        gidx, perm, lr, win, _, cover, _ = (a[0] for a in plan_arrays)
         if node_vals is None:
             wv = weights
             m = wv[jnp.minimum(perm, E - 1)].astype(jnp.float32)
@@ -647,12 +769,23 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
     init = jnp.full((max(pad_rows, tr), F), fill, jnp.float32)
 
     def body(acc, xs):
-        gidx, perm, lr, win, row0, cover = xs
+        gidx, perm, lr, win, row0, cover, grow0 = xs
         if node_vals is None:
             m = weights[jnp.minimum(perm, E - 1)].astype(jnp.float32)
             w_in, w_kind = None, "none"
         else:
-            m = node_vals[gidx]
+            if gather_rows:
+                # src-bucketed chunk: gather from a <=64 MB slice — the
+                # engine runs at the small-operand rate (2.07 vs 4.68
+                # ns/row, microbench_bucket.py); the slice itself rides
+                # sequential HBM bandwidth (~0.16 ms per 64 MB)
+                tbl = jax.lax.dynamic_slice(
+                    node_vals, (grow0, 0),
+                    (min(gather_rows, node_vals.shape[0]),
+                     node_vals.shape[1]))
+                m = tbl[gidx]
+            else:
+                m = node_vals[gidx]
             if weights is None:
                 w_in, w_kind = None, "none"
             elif full_w:
@@ -795,7 +928,8 @@ def build_gspmm_plan(csc_indptr, dst_sorted, src_of_edges, csr_indptr,
                      tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
                      bc: int = DEFAULT_BC, wc: int = DEFAULT_WC,
                      flat="auto",
-                     flat_max_slots: int = FLAT_MAX_SLOTS) -> GspmmPlan:
+                     flat_max_slots: int = FLAT_MAX_SLOTS,
+                     bucket_rows: Optional[int] = None) -> GspmmPlan:
     """Build both direction plans from the Graph's CSC/CSR arrays.
 
     Forward gathers x by src; reverse gathers dout by dst.  Both perms
@@ -804,14 +938,16 @@ def build_gspmm_plan(csc_indptr, dst_sorted, src_of_edges, csr_indptr,
     fwd = build_segment_plan(csc_indptr, dst_sorted, src_of_edges,
                              num_dst, tr, te, bc, wc,
                              gather_n=num_src, flat=flat,
-                             flat_max_slots=flat_max_slots)
+                             flat_max_slots=flat_max_slots,
+                             bucket_rows=bucket_rows)
     eids = np.asarray(src_sorted_eids)
     src_sorted = np.asarray(src_of_edges)[eids]
     dst_in_src_order = np.asarray(dst_of_edges)[eids]
     rev = build_segment_plan(csr_indptr, src_sorted, dst_in_src_order,
                              num_src, tr, te, bc, wc,
                              gather_n=num_dst, flat=flat,
-                             flat_max_slots=flat_max_slots)
+                             flat_max_slots=flat_max_slots,
+                             bucket_rows=bucket_rows)
     # compose rev perm: positions index src-sorted order -> internal ids
     E = src_sorted.shape[0]
     comp = np.where(rev.perm < E, eids[np.minimum(rev.perm, E - 1)], E)
@@ -1029,7 +1165,8 @@ def _build_dense_C(g, dense_wins: np.ndarray, tr: int,
 
 def build_hybrid_plan(g, dense_wins: np.ndarray, tr: int, te: int,
                       bc: int, wc: int, flat="auto",
-                      flat_max_slots: int = FLAT_MAX_SLOTS):
+                      flat_max_slots: int = FLAT_MAX_SLOTS,
+                      bucket_rows: Optional[int] = None):
     """Remainder (non-dense-window) edge plans, both directions."""
     dst = g.host("dst")
     src = g.host("src")
@@ -1043,14 +1180,16 @@ def build_hybrid_plan(g, dense_wins: np.ndarray, tr: int, te: int,
     np.cumsum(np.bincount(dst_r, minlength=num_dst), out=csc_r[1:])
     fwd = build_segment_plan(csc_r, dst_r, src_r, num_dst, tr, te, bc, wc,
                              gather_n=num_src, flat=flat,
-                             flat_max_slots=flat_max_slots)
+                             flat_max_slots=flat_max_slots,
+                             bucket_rows=bucket_rows)
     order = np.argsort(src_r, kind="stable")
     csr_r = np.zeros(num_src + 1, np.int64)
     np.cumsum(np.bincount(src_r, minlength=num_src), out=csr_r[1:])
     rev = build_segment_plan(csr_r, src_r[order], dst_r[order],
                              num_src, tr, te, bc, wc,
                              gather_n=num_dst, flat=flat,
-                             flat_max_slots=flat_max_slots)
+                             flat_max_slots=flat_max_slots,
+                             bucket_rows=bucket_rows)
     return fwd, rev
 
 
@@ -1083,7 +1222,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
                  weighted: bool = True, dense_hub: bool = True,
                  dense_threshold: Optional[int] = None,
                  dense_budget: int = 3 << 30, flat="auto",
-                 flat_width: int = 128, sddmm: bool = True):
+                 flat_width: int = 128, sddmm: bool = True,
+                 bucket_rows="auto"):
     """Attach Pallas gspmm plans to a Graph (returns a new Graph sharing
     all other arrays).  Requires the CSR format (build_csr=True).
     One-time host-side cost per graph, analogous to the reference's lazy
@@ -1100,6 +1240,16 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
     composed XLA path at dispatch (see flat_plans_fit)."""
     if g.csr_indptr is None or g.csr_eids is None:
         raise ValueError("prepare_spmm requires the graph's CSR format")
+    if bucket_rows == "auto":
+        # the fast-gather regime holds for <=64 MB physical operands
+        # (microbench_bucket.py: 2.07 ns/row at 64 MB, 4.67 at 128 MB);
+        # bucket when the table is comfortably past the boundary AND the
+        # (bucket x window) cell density keeps block padding sane
+        B = max(8, ((64 << 20) // (max(flat_width, 1) * 4)) // 8 * 8)
+        n_tab = max(g.num_src_nodes, g.num_dst_nodes)
+        # per-plan profitability (cell fragmentation) is checked inside
+        # _build_bucketed_plan; here only gate on table size
+        bucket_rows = B if n_tab > 2 * B else None
     if bc is None:
         # width-aware chunk size: the in-kernel-accumulating chunked path
         # has no window-span constraint, so chunks are bounded only by
@@ -1115,7 +1265,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             g.host("csc_indptr"), g.host("dst"), g.host("src"),
             g.host("csr_indptr"), g.host("csr_eids"),
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
-            tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms)
+            tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms,
+            bucket_rows=bucket_rows)
         arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta)
@@ -1126,7 +1277,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
         wins = _check_dense_exact(g, wins, tr)
         if wins.size:
             fwd, rev = build_hybrid_plan(g, wins, tr, te, bc, wc,
-                                         flat=flat, flat_max_slots=fms)
+                                         flat=flat, flat_max_slots=fms,
+                                         bucket_rows=bucket_rows)
             C, rows = _build_dense_C(g, wins, tr)
             arrays = (fwd.device_arrays() + rev.device_arrays()
                       + (C, rows))
@@ -1140,7 +1292,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             g.host("csc_indptr"), g.host("dst"), g.host("src"),
             g.host("csr_indptr"), g.host("csr_eids"),
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
-            tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms)
+            tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms,
+            bucket_rows=bucket_rows)
         arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta)

@@ -45,8 +45,8 @@ def _pallas_sddmm_eligible(g, op, lhs_data, rhs_data, lhs_target) -> bool:
         # the kernel combines equal-width operands (no broadcast logic)
         if lhs_data.shape[1:] != rhs_data.shape[1:]:
             return False
-        if op == "dot" and lhs_data.ndim != 2:
-            return False          # multi-head dot contracts per group
+        if op == "dot" and lhs_data.ndim not in (2, 3):
+            return False          # (N, H, D) multi-head handled in-kernel
     # gathered-message buffer budget (the 'u' slot gather is (nb*te, F))
     from .pallas.spmm_kernel import FLAT_MAX_BYTES
     width = int(np.prod(rhs_data.shape[1:])) if rhs_data.ndim > 1 else 1

@@ -136,3 +136,75 @@ def test_sddmm_multihead_add(rng):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_sddmm_multihead_dot(rng):
+    """(N, H, D) dot contracts the last dim only (reference broadcast
+    dot via CalcBcastInfo, src/kernel/binary_reduce.cc:96); the head-sum
+    rides an exact in-kernel one-hot matmul — fwd AND grads."""
+    g, gp = _prep(rng)
+    H, D = 4, 16
+    x = jnp.asarray(rng.normal(size=(300, H, D)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(300, H, D)).astype(np.float32))
+    ref = dgl.gsddmm(g, "dot", x, y, "u", "v")
+    out = dgl.gsddmm(gp, "dot", x, y, "u", "v")
+    assert out.shape == (g.num_edges(), H, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_p(x_, y_):
+        return (dgl.gsddmm(gp, "dot", x_, y_, "u", "v") ** 2).sum()
+
+    def loss_r(x_, y_):
+        return (dgl.gsddmm(g, "dot", x_, y_, "u", "v") ** 2).sum()
+
+    gx, gy = jax.grad(loss_p, (0, 1))(x, y)
+    rx, ry = jax.grad(loss_r, (0, 1))(x, y)
+    # f32x2 plan-kernel accumulation noise ~1e-5 rel (same for H=1)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                               rtol=1e-3, atol=5e-3)
+
+
+def _gap_graph(rng, num_nodes=10000, num_edges=500):
+    """Sparse graph whose dst ids cluster just past window boundaries,
+    leaving huge zero-degree gaps — a te-edge run then spans far more
+    than span distinct windows (the exact c73fce3 overflow scenario)."""
+    tr = 128
+    wins = rng.choice(num_nodes // tr, num_edges, replace=True)
+    dst = (wins * tr + rng.integers(0, 4, num_edges)).astype(np.int32)
+    src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=num_nodes)
+    gp = dgl.prepare_spmm(g, dense_hub=False)
+    # the scenario must actually overflow the rank-based window span
+    assert gp.sddmm_plan_arrays[3].shape[0] > 0, "no overflow edges"
+    return g, gp
+
+
+@pytest.mark.parametrize("op", ["add", "mul", "dot", "copy_rhs"])
+def test_sddmm_window_gap_overflow(rng, op):
+    """Regression for the c73fce3 window-span bug: zero-degree dst gaps
+    silently zeroed the dst operand for overflow edges.  fwd + grad."""
+    g, gp = _gap_graph(rng)
+    n = g.num_nodes()
+    x = jnp.asarray(rng.uniform(0.5, 2.0, (n, 32)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0.5, 2.0, (n, 32)).astype(np.float32))
+    ref = dgl.gsddmm(g, op, x, y, "u", "v")
+    out = dgl.gsddmm(gp, op, x, y, "u", "v")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    if op != "copy_rhs":
+        def loss_p(x_, y_):
+            return (dgl.gsddmm(gp, op, x_, y_, "u", "v") ** 2).sum()
+
+        def loss_r(x_, y_):
+            return (dgl.gsddmm(g, op, x_, y_, "u", "v") ** 2).sum()
+
+        gx, gy = jax.grad(loss_p, (0, 1))(x, y)
+        rx, ry = jax.grad(loss_r, (0, 1))(x, y)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                                   rtol=1e-4, atol=1e-4)

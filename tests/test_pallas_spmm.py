@@ -300,3 +300,69 @@ def test_pallas_minmax_bf16_packed(rng):
     out = dgl.gspmm(gp, "copy_lhs", "max", x)
     np.testing.assert_array_equal(np.asarray(out.astype(jnp.float32)),
                                   np.asarray(ref.astype(jnp.float32)))
+
+
+# ---------------------------------------------------------------------------
+# src-bucketed plans (round 3): chunk = one gather-table bucket
+# ---------------------------------------------------------------------------
+def _prep_bucketed(rng, num_nodes=500, num_edges=6000, te=64,
+                   bucket_rows=96):
+    src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    dst = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    # dedupe (u, v) pairs: duplicate edges tie under max and the kernel
+    # VJP routes the cotangent to ALL tied argmax edges while the XLA
+    # oracle picks one (documented subgradient choice, KERNELS.md)
+    key = np.unique(src.astype(np.int64) * num_nodes + dst)
+    src = (key // num_nodes).astype(np.int32)
+    dst = (key % num_nodes).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=num_nodes)
+    gp = dgl.prepare_spmm(g, te=te, dense_hub=False,
+                          bucket_rows=bucket_rows)
+    # the fwd plan must actually be bucketed (gather_rows in static meta)
+    assert gp.spmm_plan_meta[0][6] == bucket_rows, gp.spmm_plan_meta[0]
+    assert gp.spmm_plan_meta[0][4] > 1          # multiple bucket chunks
+    return g, gp
+
+
+@pytest.mark.parametrize("reducer", ["sum", "max"])
+def test_bucketed_copy_u_fwd_grad(rng, reducer):
+    g, gp = _prep_bucketed(rng)
+    x = jnp.asarray(rng.normal(size=(500, 128)).astype(np.float32))
+    ref = dgl.gspmm(g, "copy_lhs", reducer, x)
+    out = dgl.gspmm(gp, "copy_lhs", reducer, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_p(x_):
+        return (dgl.gspmm(gp, "copy_lhs", reducer, x_) ** 2).sum()
+
+    def loss_r(x_):
+        return (dgl.gspmm(g, "copy_lhs", reducer, x_) ** 2).sum()
+
+    gx = jax.grad(loss_p)(x)
+    gr = jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gr),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("wshape", [(1,), (16,)])
+def test_bucketed_u_mul_e(rng, wshape):
+    g, gp = _prep_bucketed(rng)
+    E = g.num_edges()
+    x = jnp.asarray(rng.normal(size=(500, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(E,) + wshape).astype(np.float32))
+    ref = dgl.gspmm(g, "mul", "sum", x, w, "u", "e")
+    out = dgl.gspmm(gp, "mul", "sum", x, w, "u", "e")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bucketed_bf16_packed(rng):
+    g, gp = _prep_bucketed(rng)
+    x = jnp.asarray(rng.normal(size=(500, 128))).astype(jnp.bfloat16)
+    # f32 oracle over the same bf16 values; out is bf16 so differences
+    # are output quantization only (same pattern as the unbucketed tests)
+    ref = dgl.gspmm(g, "copy_lhs", "sum", x.astype(jnp.float32))
+    out = dgl.gspmm(gp, "copy_lhs", "sum", x)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), rtol=1e-2, atol=3e-2)
