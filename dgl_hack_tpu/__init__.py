@@ -19,6 +19,7 @@ from .core.message import (  # noqa: F401
     send, recv, EdgeBatch, NodeBatch,
 )
 from .core.batch import batch, unbatch, batch_hetero, unbatch_hetero  # noqa: F401
+from .core.biggraph import BigGraph, BigPartition  # noqa: F401
 from .core import transform  # noqa: F401
 from .core.transform import (  # noqa: F401
     khop_graph, line_graph, to_bidirected, add_self_loop, remove_self_loop,
