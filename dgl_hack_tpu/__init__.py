@@ -5,6 +5,16 @@ reference DGL v0.4 fork (surveyed in SURVEY.md): immutable array-pytree
 graphs, fused gSpMM/gSDDMM message passing, nn layer zoo, sampling,
 partitioning and multi-chip distributed training over a jax.sharding.Mesh.
 """
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # the container's sitecustomize registers the axon TPU backend
+    # unconditionally at interpreter start; honour an explicit CPU
+    # request (regression-harness children, CPU-mesh tools) — the env
+    # var alone is not enough, jax.config must be updated too
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 from . import function  # noqa: F401
 from .core.graph import (  # noqa: F401
     Graph, graph, block, from_scipy, reverse, from_networkx, to_networkx,

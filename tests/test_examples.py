@@ -275,3 +275,15 @@ def test_train_ggnn_example(capsys):
                         "--nodes", "20"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["test_acc"] > 0.85
+
+
+@pytest.mark.slow
+def test_train_pinsage_rec_example(capsys):
+    """PinSAGE recommendation end-to-end (reference:
+    examples/pytorch/recommendation/main.py): sampler-built item graph,
+    BPR training, ranking eval well above the 10/101 chance hits@10."""
+    import json
+    out = _run_example("examples/train_pinsage_rec.py",
+                       ["--epochs", "40"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["hits10"] > 0.3, res
