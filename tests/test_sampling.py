@@ -115,6 +115,32 @@ def test_nodeflow_compat(g, rng):
     assert out.shape == (6, 4)
     assert np.all(np.isfinite(np.asarray(out)))
 
+    # --- deep API surface (reference: nodeflow.py 237-1054) ---
+    # local/parent id maps round-trip
+    lid = nf.layer_nid(1)
+    assert lid[0] == nf.layer_size(0)
+    pn = nf.layer_parent_nid(1)
+    np.testing.assert_array_equal(nf.map_to_parent_nid(lid), pn)
+    back = nf.map_from_parent_nid(1, pn[:3])
+    np.testing.assert_array_equal(back, lid[:3])
+    # block structure queries
+    assert nf.block_size(0) == nf.blocks[0].num_edges()
+    bs, bd = nf.block_edges(0)
+    assert len(np.asarray(bs)) == nf.blocks[0].num_edges()
+    assert nf.block_parent_eid(0).shape[0] == nf.blocks[0].num_edges()
+    assert nf.block_parent_eid(0).max() < g.num_edges()
+    # apply_layer / apply_block
+    nf.apply_layer(2, lambda b: {"h": b.data["h"] * 2.0})
+    assert np.allclose(np.asarray(nf.layers(2)["h"]),
+                       np.asarray(out) * 2.0)
+    nf.apply_block(1, fn.copy_u("h", "m"))
+    assert "m" in nf.blocks[1]._edge_frame
+    # copy_to_parent writes the seed layer back at parent positions
+    parent = {"h": np.zeros((50, 4), np.float32)}
+    updated = nf.copy_to_parent(parent)
+    got = np.asarray(updated["h"])[np.asarray(nf.layer_parent_nid(2))]
+    np.testing.assert_allclose(got, np.asarray(nf.layers(2)["h"]))
+
 
 def test_weighted_sampling_bias(g, rng):
     """prob-weighted sampling must prefer high-probability edges
