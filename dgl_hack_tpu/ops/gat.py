@@ -40,6 +40,12 @@ def _fused_eligible(g, fsrc, el, er) -> bool:
     if not flat_plans_fit(g.spmm_plan_meta, g.spmm_plan_arrays,
                           H * D + 2 * H):
         return False
+    # flat-BUCKETED plans (window-major ordm layout) are not wired into
+    # the GAT kernel's flat path yet; prepare with flat=False for
+    # bucketed GAT (the chunked-bucketed layout is supported)
+    for m in g.spmm_plan_meta:
+        if len(m) > 7 and m[7] is not None:
+            return False
     return all(jnp.issubdtype(jnp.result_type(t), jnp.floating)
                for t in (fsrc, el, er))
 

@@ -324,7 +324,8 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     num_rows, tr, te, wc, C = meta[:5]
     flat = bool(meta[5]) if len(meta) > 5 else False
     gather_rows = int(meta[6]) if len(meta) > 6 else 0
-    gidx_s, perm_s, lr_s, win_s, row0_s, cover_s, grow0_s = plan_arrays
+    (gidx_s, perm_s, lr_s, win_s, row0_s, cover_s, grow0_s,
+     ordm_s) = plan_arrays
     H = er.shape[1]
     HD = z.shape[1] - H
     D = HD // H
@@ -365,7 +366,7 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     if flat and C == 1:
         # scan-free single-kernel path (flat plan: absolute windows,
         # row0 = 0, wc covers all output windows)
-        gidx, perm, lr, win, _, cover, _ = (a[0] for a in plan_arrays)
+        gidx, perm, lr, win, _, cover, _, _ = (a[0] for a in plan_arrays)
         zg = ztab[gidx]
         wg = None
         if w is not None:
@@ -395,7 +396,7 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
     er_full = er_pad[:pad_rows]
 
     def body(acc, xs):
-        gidx, perm, lr, win, row0, cover, grow0 = xs
+        gidx, perm, lr, win, row0, cover, grow0, _om = xs
         if gather_rows:
             # src-bucketed chunk: gather z from a small slice (fast-gather
             # regime, see spmm_kernel.SegmentPlan docstring)

@@ -95,6 +95,15 @@ class SegmentPlan(NamedTuple):
     flat: bool = False
     grow0: Optional[np.ndarray] = None
     gather_rows: int = 0
+    # FLAT-bucketed layout (gather_rows > 0 AND flat): kernel-side arrays
+    # (local_row / window) are WINDOW-major so the output is written once
+    # with no accumulator, while the gathered message buffer stays
+    # BUCKET-major (so each bucket's slots are one contiguous gather from
+    # one <=64 MB table slice).  ``ordm`` maps window-major grid position
+    # -> bucket-major m-block index — an index_map permutation, free at
+    # run time.  ``slot_offsets`` (static) give each bucket's slot range.
+    ordm: Optional[np.ndarray] = None
+    slot_offsets: Optional[Tuple[int, ...]] = None
 
     @property
     def num_chunks(self) -> int:
@@ -103,18 +112,21 @@ class SegmentPlan(NamedTuple):
     def device_arrays(self) -> Tuple[Array, ...]:
         g0 = self.grow0 if self.grow0 is not None \
             else np.zeros(self.perm.shape[0], np.int32)
+        om = self.ordm if self.ordm is not None \
+            else np.zeros((self.perm.shape[0], self.window.shape[1]
+                           if self.window.ndim > 1 else 1), np.int32)
         return (jnp.asarray(self.gather_idx), jnp.asarray(self.perm),
                 jnp.asarray(self.local_row), jnp.asarray(self.window),
                 jnp.asarray(self.row0), jnp.asarray(self.cover),
-                jnp.asarray(g0))
+                jnp.asarray(g0), jnp.asarray(om))
 
     @property
     def static_meta(self):
         return (self.num_rows, self.tr, self.te, self.wc, self.num_chunks,
-                self.flat, self.gather_rows)
+                self.flat, self.gather_rows, self.slot_offsets)
 
 
-N_PLAN_ARRAYS = 7
+N_PLAN_ARRAYS = 8
 
 
 def flat_plans_fit(plan_meta, plan_arrays, width_words: int) -> bool:
@@ -133,7 +145,9 @@ def flat_plans_fit(plan_meta, plan_arrays, width_words: int) -> bool:
 
 def _build_bucketed_plan(row_sorted: np.ndarray, end_ids: np.ndarray,
                          num_rows: int, gather_n: int, tr: int, te: int,
-                         bucket_rows: int) -> SegmentPlan:
+                         bucket_rows: int,
+                         flat_max_slots: int = FLAT_MAX_SLOTS
+                         ) -> SegmentPlan:
     """Src-bucketed chunked plan: chunk c's sources all fall in ONE
     ``bucket_rows``-row range of the gather table, so the driver gathers
     from a dynamic_slice — the gather engine runs ~2.2x faster from a
@@ -204,6 +218,33 @@ def _build_bucketed_plan(row_sorted: np.ndarray, end_ids: np.ndarray,
     lr_all = np.where(slot_ok, rows_o[offs_c] - blk_win[:, None] * tr,
                       tr).astype(np.int32)
 
+    W = max(1, -(-num_rows // tr))
+    if n_blocks * te <= flat_max_slots:
+        # FLAT-bucketed: one kernel pass, no accumulator.  The m buffer
+        # keeps bucket-major block order (contiguous per-bucket gathers
+        # from static table slices); the kernel grid walks blocks in
+        # WINDOW-major order via the ordm index_map permutation, so each
+        # output window is written exactly once (vs K accumulator
+        # round-trips in the chunked layout — measured ~10 ms of pure
+        # acc traffic at K=8, N=1M, F=128).
+        worder = np.argsort(blk_win, kind="stable").astype(np.int32)
+        window_k = blk_win[worder].astype(np.int32)
+        lr_k = lr_all[worder]
+        cover = np.zeros((1, W), bool)
+        cover[0, np.unique(blk_win)] = True
+        # per-bucket slot ranges (static): (slot_start, table_row0) pairs
+        ub, ub0, ubc = np.unique(blk_bkt, return_index=True,
+                                 return_counts=True)
+        offsets = []
+        for c in range(len(ub)):
+            offsets.append((int(ub0[c]) * te, int(row0s[ub[c]])))
+        offsets.append((n_blocks * te, -1))
+        return SegmentPlan(
+            gidx_all.reshape(1, -1), perm_all.reshape(1, -1),
+            lr_k[None], window_k[None], np.zeros(1, np.int32), cover,
+            num_rows, tr, te, W, True,
+            np.zeros(1, np.int32), B, worder[None], tuple(offsets))
+
     # chunk = bucket (only non-empty ones), padded to uniform bc
     ub, ub0, ubc = np.unique(blk_bkt, return_index=True, return_counts=True)
     C = len(ub)
@@ -261,7 +302,9 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
         gather_n = int(end_ids.max()) + 1 if E else 1
     if bucket_rows is not None and gather_n > bucket_rows and E:
         bp = _build_bucketed_plan(row_sorted, end_ids, num_rows,
-                                  gather_n, tr, te, bucket_rows)
+                                  gather_n, tr, te, bucket_rows,
+                                  flat_max_slots=(flat_max_slots
+                                                  if flat else 0))
         if bp is not None:       # None: cell fragmentation unprofitable
             return bp
     W = max(1, -(-num_rows // tr))
@@ -347,9 +390,11 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
 # kernels
 # ---------------------------------------------------------------------------
 def _block_contrib(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
-                   mode: str, w_kind: str):
+                   mode: str, w_kind: str, w_row=None):
     """Shared block math: one-hot MXU reduce of this block's messages.
-    Returns (contrib (TR, FT) f32, is_first-block-of-window pred)."""
+    Returns (contrib (TR, FT) f32, is_first-block-of-window pred).
+    w_row overrides the scalar-weight row index within its (8, TE)
+    fetch (flat-bucketed plans: w shares m's bucket-major layout)."""
     b = pl.program_id(1)
     # lr block is (8, TE) — 8 consecutive blocks' rows share one fetch
     # (2-D int32 tiling allows TE < 1024, unlike 1-D's forced 1024 tile)
@@ -366,7 +411,8 @@ def _block_contrib(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
     # (E,1) weight into the multiply degrades to per-element gathering
     # (measured 2.7x slower than copy_u at F=512)
     if w_kind == "scalar":
-        w1 = w_ref[jax.lax.rem(b, 8), :]                 # (TE,) f32
+        wr = jax.lax.rem(b, 8) if w_row is None else w_row
+        w1 = w_ref[wr, :]                                # (TE,) f32
         m = m * jnp.broadcast_to(w1[:, None], m.shape)
     elif w_kind == "full":
         m = m * w_ref[:]
@@ -394,8 +440,15 @@ def _block_contrib(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
     return contrib, is_first
 
 
-def _reduce_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
-                   mode: str, w_kind: str = "none"):
+def _reduce_kernel(window_ref, *rest, tr: int, te: int,
+                   mode: str, w_kind: str = "none",
+                   has_ordm: bool = False):
+    if has_ordm:
+        ordm_ref, lr_ref, m_ref, *rest = rest
+        w_row = jax.lax.rem(ordm_ref[pl.program_id(1)], 8)
+    else:
+        lr_ref, m_ref, *rest = rest
+        w_row = None
     if w_kind == "none":
         (out_ref,) = rest
         w_ref = None
@@ -403,7 +456,7 @@ def _reduce_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
         w_ref, out_ref = rest
     contrib, is_first = _block_contrib(window_ref, lr_ref, m_ref, w_ref,
                                        tr=tr, te=te, mode=mode,
-                                       w_kind=w_kind)
+                                       w_kind=w_kind, w_row=w_row)
 
     @pl.when(is_first)
     def _():
@@ -462,7 +515,7 @@ MINMAX_NEG = -1e30
 
 
 def _block_minmax(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
-                  w_kind: str):
+                  w_kind: str, w_row=None):
     """Per-block segment max.  Returns (contrib (TR, FT) f32 with
     MINMAX_NEG fill for rows absent from this block, is_first pred).
 
@@ -481,7 +534,8 @@ def _block_minmax(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
         m = _unpack_tile_bf16(m)
     m = m.astype(jnp.float32)
     if w_kind == "scalar":
-        w1 = w_ref[jax.lax.rem(b, 8), :]
+        wr = jax.lax.rem(b, 8) if w_row is None else w_row
+        w1 = w_ref[wr, :]
         m = m * jnp.broadcast_to(w1[:, None], m.shape)
     elif w_kind == "full":
         m = m * w_ref[:].astype(jnp.float32)
@@ -519,15 +573,22 @@ def _block_minmax(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
     return contrib, is_first
 
 
-def _minmax_kernel(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
-                   w_kind: str = "none"):
+def _minmax_kernel(window_ref, *rest, tr: int, te: int,
+                   w_kind: str = "none", has_ordm: bool = False):
+    if has_ordm:
+        ordm_ref, lr_ref, m_ref, *rest = rest
+        w_row = jax.lax.rem(ordm_ref[pl.program_id(1)], 8)
+    else:
+        lr_ref, m_ref, *rest = rest
+        w_row = None
     if w_kind == "none":
         (out_ref,) = rest
         w_ref = None
     else:
         w_ref, out_ref = rest
     contrib, is_first = _block_minmax(window_ref, lr_ref, m_ref, w_ref,
-                                      tr=tr, te=te, w_kind=w_kind)
+                                      tr=tr, te=te, w_kind=w_kind,
+                                      w_row=w_row)
 
     @pl.when(is_first)
     def _():
@@ -593,34 +654,59 @@ def _reduce_call(m: Array, local_row: Array, window: Array,
                  w: Optional[Array] = None, w_kind: str = "none", *,
                  tr: int, te: int, num_windows: int, num_blocks: int,
                  mode: str = "f32x2", out_width: Optional[int] = None,
-                 combine: str = "add") -> Array:
+                 combine: str = "add",
+                 ordm: Optional[Array] = None) -> Array:
+    """ordm (flat-bucketed plans): window-major grid position b reads m
+    (and scalar w, which shares m's slot layout) at bucket-major block
+    ordm[b] — a second scalar-prefetch operand driving the index_maps."""
     packed = m.dtype == jnp.uint32
     F = out_width if packed else m.shape[1]
     ft = _pick_ft(F)
     m_ft = ft // 2 if packed else ft
-    in_specs = [
-        pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)),
-        pl.BlockSpec((te, m_ft), lambda f, b, win: (b, f)),
-    ]
+    if ordm is None:
+        in_specs = [
+            pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)),
+            pl.BlockSpec((te, m_ft), lambda f, b, win: (b, f)),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((8, te), lambda f, b, win, om: (b // 8, 0)),
+            pl.BlockSpec((te, m_ft), lambda f, b, win, om: (om[b], f)),
+        ]
     operands = [local_row, m]
     if w_kind == "scalar":
-        in_specs.append(pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0)))
+        in_specs.append(
+            pl.BlockSpec((8, te), lambda f, b, win: (b // 8, 0))
+            if ordm is None else
+            pl.BlockSpec((8, te), lambda f, b, win, om: (om[b] // 8, 0)))
         operands.append(w)
     elif w_kind == "full":
-        in_specs.append(pl.BlockSpec((te, ft), lambda f, b, win: (b, f)))
+        in_specs.append(
+            pl.BlockSpec((te, ft), lambda f, b, win: (b, f))
+            if ordm is None else
+            pl.BlockSpec((te, ft), lambda f, b, win, om: (om[b], f)))
         operands.append(w)
+    if ordm is None:
+        out_spec = pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f))
+        prefetch = (window,)
+    else:
+        out_spec = pl.BlockSpec((tr, ft),
+                                lambda f, b, win, om: (win[b], f))
+        prefetch = (window, ordm)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(prefetch),
         grid=(max(1, F // ft), num_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)),
+        out_specs=out_spec,
     )
     if combine == "max":
         kernel = functools.partial(_minmax_kernel, tr=tr, te=te,
-                                   w_kind=w_kind)
+                                   w_kind=w_kind,
+                                   has_ordm=ordm is not None)
     else:
         kernel = functools.partial(_reduce_kernel, tr=tr, te=te, mode=mode,
-                                   w_kind=w_kind)
+                                   w_kind=w_kind,
+                                   has_ordm=ordm is not None)
     return pl.pallas_call(
         kernel,
         grid_spec=grid,
@@ -628,7 +714,7 @@ def _reduce_call(m: Array, local_row: Array, window: Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_interpret(),
-    )(window, *operands)
+    )(*prefetch, *operands)
 
 
 def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
@@ -702,7 +788,9 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
     num_rows, tr, te, wc, C = static_meta[:5]
     flat = bool(static_meta[5]) if len(static_meta) > 5 else False
     gather_rows = int(static_meta[6]) if len(static_meta) > 6 else 0
-    gidx_s, perm_s, lr_s, win_s, row0_s, cover_s, grow0_s = plan_arrays
+    slot_offsets = static_meta[7] if len(static_meta) > 7 else None
+    (gidx_s, perm_s, lr_s, win_s, row0_s, cover_s, grow0_s,
+     ordm_s) = plan_arrays
     F = weights.shape[1] if node_vals is None else node_vals.shape[1]
     fill = jnp.float32(0.0 if combine == "add" else MINMAX_NEG)
     out_len = wc * tr
@@ -723,9 +811,12 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         node_vals = _pack_tiles_bf16(node_vals, _pick_ft(F))
 
     def edge_weights(perm):
-        wv = weights if weights.ndim > 1 else weights[:, None]
-        return ((wv[jnp.minimum(perm, E - 1), 0].astype(jnp.float32)
-                 * (perm < E)).reshape(bc, te), "scalar")
+        # 1-D element gather — an (E, 1) intermediate would materialise
+        # with (8,128)-tile padding (128x expansion: 7.6 GB at E=16M,
+        # measured OOM)
+        wv = weights.reshape(-1) if weights.ndim > 1 else weights
+        return ((wv[jnp.minimum(perm, E - 1)].astype(jnp.float32)
+                 * (perm < E)).reshape(-1, te), "scalar")
 
     def apply_full_w(m, perm):
         # (E, F) weights multiply OUTSIDE the kernel: XLA fuses the row
@@ -741,13 +832,28 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         # single kernel over all blocks, absolute windows, no accumulator
         # (the scan's per-chunk dynamic-slice glue measured ~10 ns/slot —
         # as costly as the gather itself)
-        gidx, perm, lr, win, _, cover, _ = (a[0] for a in plan_arrays)
+        gidx, perm, lr, win, _, cover, _, ordm = (a[0] for a in plan_arrays)
         if node_vals is None:
             wv = weights
             m = wv[jnp.minimum(perm, E - 1)].astype(jnp.float32)
             w_in, w_kind = None, "none"
         else:
-            m = node_vals[gidx]
+            if slot_offsets is not None:
+                # FLAT-BUCKETED: per-bucket gathers from STATIC table
+                # slices (<=64 MB each -> 2.07 ns/row engine rate); m
+                # stays bucket-major, the kernel's ordm index_map walks
+                # it window-major
+                rows = min(gather_rows, node_vals.shape[0])
+                parts = []
+                for (s0, r0), (s1, _) in zip(slot_offsets[:-1],
+                                             slot_offsets[1:]):
+                    tbl = jax.lax.slice(
+                        node_vals, (r0, 0),
+                        (r0 + rows, node_vals.shape[1]))
+                    parts.append(tbl[jax.lax.slice(gidx, (s0,), (s1,))])
+                m = jnp.concatenate(parts, 0)
+            else:
+                m = node_vals[gidx]
             if weights is None:
                 w_in, w_kind = None, "none"
             elif full_w:
@@ -757,7 +863,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
                 w_in, w_kind = edge_weights(perm)
         out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
                            num_windows=wc, num_blocks=bc, mode=mode,
-                           out_width=F, combine=combine)
+                           out_width=F, combine=combine,
+                           ordm=ordm if slot_offsets is not None else None)
         rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
         out = jnp.where(rowmask[:, None], out, fill)
         return out[:num_rows]
@@ -769,7 +876,7 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
     init = jnp.full((max(pad_rows, tr), F), fill, jnp.float32)
 
     def body(acc, xs):
-        gidx, perm, lr, win, row0, cover, grow0 = xs
+        gidx, perm, lr, win, row0, cover, grow0, _om = xs
         if node_vals is None:
             m = weights[jnp.minimum(perm, E - 1)].astype(jnp.float32)
             w_in, w_kind = None, "none"

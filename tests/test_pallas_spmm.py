@@ -306,7 +306,7 @@ def test_pallas_minmax_bf16_packed(rng):
 # src-bucketed plans (round 3): chunk = one gather-table bucket
 # ---------------------------------------------------------------------------
 def _prep_bucketed(rng, num_nodes=500, num_edges=6000, te=64,
-                   bucket_rows=96):
+                   bucket_rows=96, layout="flat"):
     src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     dst = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     # dedupe (u, v) pairs: duplicate edges tie under max and the kernel
@@ -317,16 +317,22 @@ def _prep_bucketed(rng, num_nodes=500, num_edges=6000, te=64,
     dst = (key % num_nodes).astype(np.int32)
     g = dgl.graph((src, dst), num_nodes=num_nodes)
     gp = dgl.prepare_spmm(g, te=te, dense_hub=False,
+                          flat=(layout == "flat"),
                           bucket_rows=bucket_rows)
     # the fwd plan must actually be bucketed (gather_rows in static meta)
-    assert gp.spmm_plan_meta[0][6] == bucket_rows, gp.spmm_plan_meta[0]
-    assert gp.spmm_plan_meta[0][4] > 1          # multiple bucket chunks
+    meta = gp.spmm_plan_meta[0]
+    assert meta[6] == bucket_rows, meta
+    if layout == "flat":
+        assert meta[4] == 1 and meta[7] is not None, meta  # flat-bucketed
+    else:
+        assert meta[4] > 1 and meta[7] is None, meta   # chunked buckets
     return g, gp
 
 
+@pytest.mark.parametrize("layout", ["flat", "chunked"])
 @pytest.mark.parametrize("reducer", ["sum", "max"])
-def test_bucketed_copy_u_fwd_grad(rng, reducer):
-    g, gp = _prep_bucketed(rng)
+def test_bucketed_copy_u_fwd_grad(rng, reducer, layout):
+    g, gp = _prep_bucketed(rng, layout=layout)
     x = jnp.asarray(rng.normal(size=(500, 128)).astype(np.float32))
     ref = dgl.gspmm(g, "copy_lhs", reducer, x)
     out = dgl.gspmm(gp, "copy_lhs", reducer, x)
@@ -345,9 +351,10 @@ def test_bucketed_copy_u_fwd_grad(rng, reducer):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("layout", ["flat", "chunked"])
 @pytest.mark.parametrize("wshape", [(1,), (16,)])
-def test_bucketed_u_mul_e(rng, wshape):
-    g, gp = _prep_bucketed(rng)
+def test_bucketed_u_mul_e(rng, wshape, layout):
+    g, gp = _prep_bucketed(rng, layout=layout)
     E = g.num_edges()
     x = jnp.asarray(rng.normal(size=(500, 16)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(E,) + wshape).astype(np.float32))
@@ -357,8 +364,9 @@ def test_bucketed_u_mul_e(rng, wshape):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_bucketed_bf16_packed(rng):
-    g, gp = _prep_bucketed(rng)
+@pytest.mark.parametrize("layout", ["flat", "chunked"])
+def test_bucketed_bf16_packed(rng, layout):
+    g, gp = _prep_bucketed(rng, layout=layout)
     x = jnp.asarray(rng.normal(size=(500, 128))).astype(jnp.bfloat16)
     # f32 oracle over the same bf16 values; out is bf16 so differences
     # are output quantization only (same pattern as the unbucketed tests)
