@@ -1116,28 +1116,32 @@ def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
 # graph.  Weighted ops (u_mul_e) keep the full sparse plan.
 
 GATHER_NS_PER_ROW = 4.68         # measured clean rate (KERNELS.md v2 sweep)
+BUCKETED_NS_PER_ROW = 2.1        # <=64 MB operand rate (round-3 bucket study)
 HBM_BYTES_PER_S = 819e9          # v5e
 
 
-def _dense_breakeven(num_src: int, tr: int, passes: int = 1) -> int:
-    """Edges/window above which reading a dense bf16 C row-block beats
+def _dense_breakeven(num_src: int, tr: int, passes: int = 1,
+                     gather_ns: float = GATHER_NS_PER_ROW) -> int:
+    """Edges/window above which reading a dense int8 C row-block beats
     gathering the window's source rows.  passes=1: _dense_matmul reads C
-    ONCE (hi||lo concat); measured sweep (tools/tune_hybrid.py) confirms
-    the resulting ~67k threshold beats the old 2-pass/7.3 ns model by
-    ~4% on the headline bench."""
-    read_s = passes * tr * num_src * 2 / HBM_BYTES_PER_S
-    return max(4 * tr, int(read_s / (GATHER_NS_PER_ROW * 1e-9)))
+    ONCE (hi||lo concat).  ``gather_ns`` is the competing gather rate:
+    4.68 ns/row plain, 2.1 when the remainder plan is src-bucketed
+    (the breakeven doubles — fewer dense windows)."""
+    read_s = passes * tr * num_src * 1 / HBM_BYTES_PER_S  # int8 C
+    return max(4 * tr, int(read_s / (gather_ns * 1e-9)))
 
 
 def select_dense_windows(csc_indptr: np.ndarray, num_src: int, num_dst: int,
                          tr: int, threshold: Optional[int] = None,
-                         budget_bytes: int = 3 << 30) -> np.ndarray:
+                         budget_bytes: int = 3 << 30,
+                         gather_ns: float = GATHER_NS_PER_ROW) -> np.ndarray:
     """Window ids to densify, heaviest first, within the HBM budget."""
     W = max(1, -(-num_dst // tr))
     bounds = np.minimum(np.arange(W + 1) * tr, num_dst)
     cnt = (csc_indptr[bounds[1:]] - csc_indptr[bounds[:-1]]).astype(np.int64)
-    thr = _dense_breakeven(num_src, tr) if threshold is None else threshold
-    per_win_bytes = tr * num_src * 2
+    thr = _dense_breakeven(num_src, tr, gather_ns=gather_ns) \
+        if threshold is None else threshold
+    per_win_bytes = tr * num_src * 1   # int8 C
     max_wins = int(budget_bytes // max(per_win_bytes, 1))
     cand = np.nonzero(cnt >= max(thr, 1))[0]
     if cand.size == 0 or max_wins == 0:
@@ -1147,13 +1151,19 @@ def select_dense_windows(csc_indptr: np.ndarray, num_src: int, num_dst: int,
 
 
 def _dense_matmul(C: Array, x: Array, mode: str) -> Array:
-    """(R, N) bf16 count matrix @ (N, F) features -> (R, F) f32."""
+    """(R, N) count matrix @ (N, F) features -> (R, F) f32.
+
+    C is stored int8 (counts are small exact ints; _check_dense_exact
+    guards <= 127): HALF the bytes of bf16, and the C read dominates the
+    dense path's traffic.  XLA fuses the int8->bf16 convert into the dot
+    operand, so the stored byte count is what moves through HBM."""
+    Cb = C.astype(jnp.bfloat16)
     if mode == "highest":
         return jnp.dot(C.astype(jnp.float32), x.astype(jnp.float32),
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     if mode == "fast":
-        return jnp.dot(C, x.astype(jnp.bfloat16),
+        return jnp.dot(Cb, x.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     xf = x.astype(jnp.float32)
     hi = xf.astype(jnp.bfloat16)
@@ -1161,7 +1171,7 @@ def _dense_matmul(C: Array, x: Array, mode: str) -> Array:
     # one dot over [hi || lo] -> C is read ONCE (it dominates traffic:
     # R x num_src vs num_src x F operand)
     F = x.shape[1]
-    d = jnp.dot(C, jnp.concatenate([hi, lo], axis=1),
+    d = jnp.dot(Cb, jnp.concatenate([hi, lo], axis=1),
                 preferred_element_type=jnp.float32)
     return d[:, :F] + d[:, F:]
 
@@ -1169,19 +1179,20 @@ def _dense_matmul(C: Array, x: Array, mode: str) -> Array:
 def _dense_matmul_t(C: Array, g: Array, mode: str) -> Array:
     """C^T @ g: (R, N)^T @ (R, F) -> (N, F) f32 (backward)."""
     dn = (((0,), (0,)), ((), ()))
+    Cb = C.astype(jnp.bfloat16)
     if mode == "highest":
         return jax.lax.dot_general(C.astype(jnp.float32),
                                    g.astype(jnp.float32), dn,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
     if mode == "fast":
-        return jax.lax.dot_general(C, g.astype(jnp.bfloat16), dn,
+        return jax.lax.dot_general(Cb, g.astype(jnp.bfloat16), dn,
                                    preferred_element_type=jnp.float32)
     gf = g.astype(jnp.float32)
     hi = gf.astype(jnp.bfloat16)
     lo = (gf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     F = g.shape[1]
-    d = jax.lax.dot_general(C, jnp.concatenate([hi, lo], axis=1), dn,
+    d = jax.lax.dot_general(Cb, jnp.concatenate([hi, lo], axis=1), dn,
                             preferred_element_type=jnp.float32)
     return d[:, :F] + d[:, F:]
 
@@ -1238,7 +1249,7 @@ def gspmm_hybrid(plan_meta, plan_arrays: Sequence[Array], x: Array,
 
 def _build_dense_C(g, dense_wins: np.ndarray, tr: int,
                    rows_per_chunk: int = 256) -> Tuple[Array, Array]:
-    """Device-side build of the dense count matrix C (R, num_src) bf16
+    """Device-side build of the dense count matrix C (R, num_src) int8
     and the (R,) dense output-row ids.  One-time scatter per row-chunk
     (bounds the f32 staging buffer to rows_per_chunk x num_src)."""
     num_src, num_dst = g.num_src_nodes, g.num_dst_nodes
@@ -1259,14 +1270,14 @@ def _build_dense_C(g, dense_wins: np.ndarray, tr: int,
         # rows before this chunk must stay dropped, not wrap negative
         r_rel = jnp.where(r_all >= r0, r_all - r0, np.int32(1) << 30)
         c = jnp.zeros((cr, num_src), jnp.float32)
-        return c.at[r_rel, src].add(1.0, mode="drop").astype(jnp.bfloat16)
+        return c.at[r_rel, src].add(1.0, mode="drop").astype(jnp.int8)
 
     parts = []
     for r0 in range(0, R, rows_per_chunk):
         cr = min(rows_per_chunk, R - r0)
         parts.append(chunk(r_all, g.src, r0, cr))
     C = jnp.concatenate(parts, axis=0) if parts \
-        else jnp.zeros((0, num_src), jnp.bfloat16)
+        else jnp.zeros((0, num_src), jnp.int8)
     return C, jnp.asarray(rows_np)
 
 
@@ -1301,8 +1312,8 @@ def build_hybrid_plan(g, dense_wins: np.ndarray, tr: int, te: int,
 
 
 def _check_dense_exact(g, dense_wins: np.ndarray, tr: int) -> np.ndarray:
-    """Drop windows whose per-(dst, src) multiplicity exceeds bf16's exact
-    integer range (256) — multigraph safety."""
+    """Drop windows whose per-(dst, src) multiplicity exceeds int8's
+    range (127) — multigraph safety (C is stored int8)."""
     if dense_wins.size == 0:
         return dense_wins
     dst = g.host("dst").astype(np.int64)
@@ -1313,7 +1324,7 @@ def _check_dense_exact(g, dense_wins: np.ndarray, tr: int) -> np.ndarray:
         m = win == w
         key = dst[m] * g.num_src_nodes + src[m]
         _, counts = np.unique(key, return_counts=True)
-        if counts.size == 0 or counts.max() <= 256:
+        if counts.size == 0 or counts.max() <= 127:
             keep.append(w)
     return np.asarray(keep, dtype=np.int64)
 
@@ -1380,7 +1391,9 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
     if dense_hub and g.edge_mask is None:
         wins = select_dense_windows(
             g.host("csc_indptr"), g.num_src_nodes, g.num_dst_nodes, tr,
-            threshold=dense_threshold, budget_bytes=dense_budget)
+            threshold=dense_threshold, budget_bytes=dense_budget,
+            gather_ns=(BUCKETED_NS_PER_ROW if bucket_rows
+                       else GATHER_NS_PER_ROW))
         wins = _check_dense_exact(g, wins, tr)
         if wins.size:
             fwd, rev = build_hybrid_plan(g, wins, tr, te, bc, wc,

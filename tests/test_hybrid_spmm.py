@@ -119,12 +119,13 @@ def test_select_dense_windows_budget():
     """Budget caps the number of densified windows, heaviest first."""
     indptr = np.array([0, 1000, 1000, 1500, 1500, 1500, 3000, 3000, 3001])
     # tr=1: window counts = per-node in-degrees
+    # int8 C: budget counts 1 byte per (row, src) cell
     wins = select_dense_windows(indptr, num_src=1000, num_dst=8, tr=1,
-                                threshold=400, budget_bytes=2 * 1000 * 2)
+                                threshold=400, budget_bytes=2 * 1000 * 1)
     assert list(wins) == [0, 5]
     wins = demoted = select_dense_windows(indptr, num_src=1000, num_dst=8,
                                           tr=1, threshold=400,
-                                          budget_bytes=1 * 1000 * 2)
+                                          budget_bytes=1 * 1000 * 1)
     assert list(demoted) == [5]  # heaviest kept under a 1-window budget
 
 

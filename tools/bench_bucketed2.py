@@ -1,17 +1,9 @@
-"""On-chip A/B of src-bucketed plans (round 3).
+"""Round-3 bench, part 2: flat-bucketed remainder + dense-threshold
+retune + weighted flat-bucketed + wide-F retry.
 
-All feature/weight arrays are generated ON DEVICE (jax.random) — the
-axon tunnel moves 100 MB-scale host arrays at ~single-digit MB/s, so
-host-side np.random operands stall the bench for tens of minutes
-(CLAUDE.md).  Plan arrays (host-built, unavoidable) are the only
-transfers.
-
-Cases:
-  1. copy_u hybrid headline: flat remainder (round-2 champion) vs
-     BUCKETED chunked remainder, te sweep.
-  2. u_mul_e F=128 full sparse plan: unbucketed vs bucketed.
-  3. u_mul_e F=512 wide tail (round-2: 58 ns/edge): unbucketed chunked
-     vs bucketed (32k-row = 64 MB buckets).
+With the cheaper bucketed gather (2.07 vs 4.68 ns/row) the dense-hub
+breakeven shifts ~2.2x higher — fewer dense windows, less C-read
+traffic.  Sweep dense_threshold alongside the flat-bucketed remainder.
 """
 import functools
 import gc
@@ -77,51 +69,49 @@ def main():
         print(json.dumps(r), flush=True)
         return r
 
-    # 1) headline copy_u hybrid: flat remainder vs bucketed remainder
-    g_flat = dgl.prepare_spmm(g0, te=64, weighted=False, sddmm=False,
-                              bucket_rows=None)
-    run("hybrid_flat_remainder_te64", g_flat, "copy", x)
-    del g_flat
-    gc.collect()
-    for te in (32, 64, 128):
-        g_b = dgl.prepare_spmm(g0, te=te, weighted=False, flat=False,
-                               sddmm=False, bucket_rows=131072)
-        mt = g_b.spmm_hybrid_meta or g_b.spmm_plan_meta
-        print(json.dumps({"note": f"bucketed remainder te={te}",
-                          "gather_rows": mt[0][6], "chunks": mt[0][4],
-                          "blocks": int(mt[0][4])}), flush=True)
-        run(f"hybrid_bucketed_remainder_te{te}", g_b, "copy", x)
-        del g_b
+    # 1) flat-bucketed remainder at default dense threshold
+    for thr in (None, 90_000, 150_000, 250_000):
+        g_fb = dgl.prepare_spmm(g0, te=64, weighted=False, sddmm=False,
+                                dense_threshold=thr, bucket_rows=131072)
+        mt = g_fb.spmm_hybrid_meta or g_fb.spmm_plan_meta
+        tag = thr or "auto"
+        print(json.dumps({
+            "note": f"flatbucket thr={tag}",
+            "flat": bool(mt[0][5]), "gather_rows": mt[0][6],
+            "bucketed_flat": mt[0][7] is not None,
+            "blocks": int(np.asarray(
+                (g_fb.spmm_hybrid_arrays or g_fb.spmm_plan_arrays)[3]
+            ).shape[1])}), flush=True)
+        run(f"hybrid_flatbucket_thr{tag}", g_fb, "copy", x)
+        del g_fb
         gc.collect()
 
-    # 2) u_mul_e F=128 full sparse plan
-    g_u = dgl.prepare_spmm(g0, te=256, dense_hub=False, sddmm=False,
-                           bucket_rows=None)
-    run("u_mul_e_F128_unbucketed", g_u, "mul", x, w1)
-    del g_u
-    gc.collect()
-    g_ub = dgl.prepare_spmm(g0, te=256, dense_hub=False, flat=False,
-                            sddmm=False, bucket_rows=131072)
-    print(json.dumps({"note": "bucketed u_mul_e meta",
-                      "gather_rows": g_ub.spmm_plan_meta[0][6],
-                      "chunks": g_ub.spmm_plan_meta[0][4]}), flush=True)
-    run("u_mul_e_F128_bucketed", g_ub, "mul", x, w1)
+    # 2) weighted u_mul_e flat-bucketed (F=128)
+    g_ub = dgl.prepare_spmm(g0, te=64, dense_hub=False, sddmm=False,
+                            bucket_rows=131072)
+    mt = g_ub.spmm_plan_meta
+    print(json.dumps({"note": "u_mul_e flatbucket", "flat": bool(mt[0][5]),
+                      "bucketed_flat": mt[0][7] is not None}), flush=True)
+    run("u_mul_e_F128_flatbucket_te64", g_ub, "mul", x, w1)
     del g_ub
     gc.collect()
 
-    # 3) wide-feature tail: F=512
+    # 3) wide-F retry: F=512 chunked-bucketed (32k buckets)
     del x
     x2 = jax.random.normal(k3, (N, 512), jnp.float32)
-    g_w = dgl.prepare_spmm(g0, te=256, dense_hub=False, flat=False,
-                           sddmm=False, flat_width=512, bucket_rows=None)
-    run("u_mul_e_F512_unbucketed", g_w, "mul", x2, w1)
-    del g_w
-    gc.collect()
     g_wb = dgl.prepare_spmm(g0, te=256, dense_hub=False, flat=False,
                             sddmm=False, flat_width=512,
                             bucket_rows=32768)
     run("u_mul_e_F512_bucketed32k", g_wb, "mul", x2, w1)
     del g_wb
+    gc.collect()
+    # bf16 features (the round-2 58 ns/edge case was bf16-packed)
+    xb = x2.astype(jnp.bfloat16)
+    g_wb2 = dgl.prepare_spmm(g0, te=256, dense_hub=False, flat=False,
+                             sddmm=False, flat_width=512,
+                             bucket_rows=65536)
+    run("u_mul_e_F512bf16_bucketed64k", g_wb2, "mul", xb, w1)
+    del g_wb2
 
 
 if __name__ == "__main__":
