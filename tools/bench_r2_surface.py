@@ -62,8 +62,9 @@ def main():
 
     if args.case in ("hybrid", "max", "sum_xla", "u_add_v", "u_dot_v",
                      "u_add_v_plan", "u_dot_v_plan", "copy_v_plan"):
-        x = jnp.asarray(np.random.default_rng(0)
-                        .normal(size=(N, F)).astype(np.float32))
+        # device-side generation: the tunnel moves 100 MB-scale host
+        # arrays at single-digit MB/s (CLAUDE.md)
+        x = jax.random.normal(jax.random.PRNGKey(0), (N, F), jnp.float32)
     if args.case == "hybrid":
         gp = dgl.prepare_spmm(g0, te=64, weighted=False)
         report("copy_u_sum_hybrid",
@@ -100,10 +101,9 @@ def main():
                                           "u", "v")[:N], x))
     elif args.case == "wide":
         F2 = 512
-        xw = jnp.asarray(np.random.default_rng(1).normal(
-            size=(N, F2)).astype(np.float32)).astype(jnp.bfloat16)
-        w = jnp.asarray(np.random.default_rng(2).normal(
-            size=(E, 1)).astype(np.float32))
+        xw = jax.random.normal(jax.random.PRNGKey(1), (N, F2),
+                               jnp.float32).astype(jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(2), (E, 1), jnp.float32)
         gpw = dgl.prepare_spmm(g0, te=256, weighted=True, flat_width=F2)
         report("u_mul_e_f512_bf16_plan",
                timed(lambda h: dgl.gspmm(gpw, "mul", "sum", h, w, "u", "e")
@@ -114,10 +114,10 @@ def main():
         E3 = g3.num_edges()
         g3p = dgl.prepare_spmm(g3, te=256, weighted=False)
         from dgl_hack_tpu.ops.gat import gat_attention
-        rng = np.random.default_rng(3)
-        fsrc = jnp.asarray(rng.normal(size=(N3, H, D)).astype(np.float32))
-        el = jnp.asarray(rng.normal(size=(N3, H)).astype(np.float32))
-        er = jnp.asarray(rng.normal(size=(N3, H)).astype(np.float32))
+        kk = jax.random.split(jax.random.PRNGKey(3), 3)
+        fsrc = jax.random.normal(kk[0], (N3, H, D), jnp.float32)
+        el = jax.random.normal(kk[1], (N3, H), jnp.float32)
+        er = jax.random.normal(kk[2], (N3, H), jnp.float32)
 
         dt = timed(lambda f: gat_attention(g3p, f, el, er, 0.2), fsrc)
         print(json.dumps({"case": "fused_gat_fwd",
