@@ -66,7 +66,7 @@ def test_hybrid_all_windows_dense(rng):
 
 
 def test_hybrid_multigraph_duplicate_edges(rng):
-    """Duplicate (u, v) pairs: C carries exact small-int counts in bf16."""
+    """Duplicate (u, v) pairs: C carries exact small-int counts in int8."""
     src = np.repeat(rng.integers(0, 50, 100), 5).astype(np.int32)
     dst = np.repeat(rng.integers(0, 8, 100), 5).astype(np.int32)
     g = dgl.graph((src, dst), num_nodes=50)
@@ -138,5 +138,25 @@ def test_hybrid_3d_features(rng):
     ref = dgl.gspmm(g, "copy_lhs", "sum", x)
     out = dgl.gspmm(gp, "copy_lhs", "sum", x)
     assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_multigraph_over_int8_not_densified(rng):
+    """Per-pair multiplicity past int8's range (127) must drop the
+    window from the dense path (C is stored int8), falling back to the
+    sparse plan — result still exact."""
+    src = np.repeat(rng.integers(0, 20, 4), 200).astype(np.int32)  # x200
+    dst = np.repeat(rng.integers(0, 4, 4), 200).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=20)
+    gp = dgl.prepare_spmm(g, te=256, bc=8, wc=2, weighted=False,
+                          dense_threshold=1)
+    # every window containing a >127-multiplicity pair was dropped
+    if gp.spmm_hybrid_arrays is not None:
+        C = np.asarray(gp.spmm_hybrid_arrays[-2])
+        assert C.max(initial=0) <= 127
+    x = jnp.asarray(rng.normal(size=(20, 8)).astype(np.float32))
+    ref = dgl.gspmm(g, "copy_lhs", "sum", x)
+    out = dgl.gspmm(gp, "copy_lhs", "sum", x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
