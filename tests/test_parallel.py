@@ -345,7 +345,7 @@ def test_sampled_dp_sage_multichip(mesh, rng=np.random.default_rng(8)):
     seed_shards = rng.integers(0, n, (8, B)).astype(np.int32)
     blocks, xs, ys = sample_sharded_batch(g, sampler, seed_shards, x, y)
 
-    params = model.init(jax.random.PRNGKey(0), 
+    params = model.init(jax.random.PRNGKey(0),
                         jax.tree.map(lambda a: a[0], blocks), xs[0])
     tx = optax.adam(1e-2)
     step = make_sampled_dp_step(model, tx, mesh)
