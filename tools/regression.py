@@ -63,6 +63,12 @@ def run_one(script, args, platform=None):
         # 'cpu' keeps regression runs off the (single-tenant) TPU;
         # default inherits the session platform (axon -> real TPU)
         env["JAX_PLATFORMS"] = platform
+        if platform == "cpu":
+            # hard kill-switch: the container's sitecustomize registers
+            # the axon TPU backend whenever this var is set, and a child
+            # touching jax before importing dgl_hack_tpu would claim the
+            # single-tenant chip and wedge any concurrent TPU process
+            env.pop("PALLAS_AXON_POOL_IPS", None)
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(
