@@ -287,3 +287,15 @@ def test_train_pinsage_rec_example(capsys):
                        ["--epochs", "40"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["hits10"] > 0.3, res
+
+
+@pytest.mark.slow
+def test_train_transformer_example(capsys):
+    """Attention as graph message passing (reference:
+    examples/pytorch/transformer on the synthetic copy task) — the
+    multi-head u_dot_v/edge_softmax/u_mul_e pipeline end-to-end."""
+    import json
+    out = _run_example("examples/train_transformer.py",
+                       ["--epochs", "150"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["token_acc"] > 0.95, res
