@@ -299,3 +299,15 @@ def test_train_transformer_example(capsys):
                        ["--epochs", "150"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["token_acc"] > 0.95, res
+
+
+@pytest.mark.slow
+def test_train_rrn_example(capsys):
+    """Recurrent Relational Network on generated 4x4 Sudoku (reference:
+    examples/pytorch/rrn) — the edge-UDF message + GRU recurrence path
+    inside one scanned jit."""
+    import json
+    out = _run_example("examples/train_rrn.py",
+                       ["--epochs", "200", "--batch", "48"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["cell_acc"] > 0.8, res
