@@ -1127,7 +1127,7 @@ def _dense_breakeven(num_src: int, tr: int, passes: int = 1,
     ONCE (hi||lo concat).  ``gather_ns`` is the competing gather rate:
     4.68 ns/row plain, 2.1 when the remainder plan is src-bucketed
     (the breakeven doubles — fewer dense windows)."""
-    read_s = passes * tr * num_src * 1 / HBM_BYTES_PER_S  # int8 C
+    read_s = passes * tr * num_src * 2 / HBM_BYTES_PER_S  # bf16 C
     return max(4 * tr, int(read_s / (gather_ns * 1e-9)))
 
 
@@ -1141,7 +1141,7 @@ def select_dense_windows(csc_indptr: np.ndarray, num_src: int, num_dst: int,
     cnt = (csc_indptr[bounds[1:]] - csc_indptr[bounds[:-1]]).astype(np.int64)
     thr = _dense_breakeven(num_src, tr, gather_ns=gather_ns) \
         if threshold is None else threshold
-    per_win_bytes = tr * num_src * 1   # int8 C
+    per_win_bytes = tr * num_src * 2   # bf16 C
     max_wins = int(budget_bytes // max(per_win_bytes, 1))
     cand = np.nonzero(cnt >= max(thr, 1))[0]
     if cand.size == 0 or max_wins == 0:
@@ -1153,10 +1153,11 @@ def select_dense_windows(csc_indptr: np.ndarray, num_src: int, num_dst: int,
 def _dense_matmul(C: Array, x: Array, mode: str) -> Array:
     """(R, N) count matrix @ (N, F) features -> (R, F) f32.
 
-    C is stored int8 (counts are small exact ints; _check_dense_exact
-    guards <= 127): HALF the bytes of bf16, and the C read dominates the
-    dense path's traffic.  XLA fuses the int8->bf16 convert into the dot
-    operand, so the stored byte count is what moves through HBM."""
+    C is stored bf16 (counts are small exact ints).  An int8 store would
+    halve the dominant C-read traffic, but feeding an int8->bf16 convert
+    into the TPU dot HANGS the remote compile helper (measured round 3:
+    even a minimal (256, 100k) int8 @ bf16 dot never returns) — revisit
+    if a future compiler accepts it."""
     Cb = C.astype(jnp.bfloat16)
     if mode == "highest":
         return jnp.dot(C.astype(jnp.float32), x.astype(jnp.float32),
@@ -1249,7 +1250,7 @@ def gspmm_hybrid(plan_meta, plan_arrays: Sequence[Array], x: Array,
 
 def _build_dense_C(g, dense_wins: np.ndarray, tr: int,
                    rows_per_chunk: int = 256) -> Tuple[Array, Array]:
-    """Device-side build of the dense count matrix C (R, num_src) int8
+    """Device-side build of the dense count matrix C (R, num_src) bf16
     and the (R,) dense output-row ids.  One-time scatter per row-chunk
     (bounds the f32 staging buffer to rows_per_chunk x num_src)."""
     num_src, num_dst = g.num_src_nodes, g.num_dst_nodes
@@ -1270,14 +1271,14 @@ def _build_dense_C(g, dense_wins: np.ndarray, tr: int,
         # rows before this chunk must stay dropped, not wrap negative
         r_rel = jnp.where(r_all >= r0, r_all - r0, np.int32(1) << 30)
         c = jnp.zeros((cr, num_src), jnp.float32)
-        return c.at[r_rel, src].add(1.0, mode="drop").astype(jnp.int8)
+        return c.at[r_rel, src].add(1.0, mode="drop").astype(jnp.bfloat16)
 
     parts = []
     for r0 in range(0, R, rows_per_chunk):
         cr = min(rows_per_chunk, R - r0)
         parts.append(chunk(r_all, g.src, r0, cr))
     C = jnp.concatenate(parts, axis=0) if parts \
-        else jnp.zeros((0, num_src), jnp.int8)
+        else jnp.zeros((0, num_src), jnp.bfloat16)
     return C, jnp.asarray(rows_np)
 
 
@@ -1312,8 +1313,8 @@ def build_hybrid_plan(g, dense_wins: np.ndarray, tr: int, te: int,
 
 
 def _check_dense_exact(g, dense_wins: np.ndarray, tr: int) -> np.ndarray:
-    """Drop windows whose per-(dst, src) multiplicity exceeds int8's
-    range (127) — multigraph safety (C is stored int8)."""
+    """Drop windows whose per-(dst, src) multiplicity exceeds bf16's
+    exact-int range (256) — multigraph safety."""
     if dense_wins.size == 0:
         return dense_wins
     dst = g.host("dst").astype(np.int64)
@@ -1324,7 +1325,7 @@ def _check_dense_exact(g, dense_wins: np.ndarray, tr: int) -> np.ndarray:
         m = win == w
         key = dst[m] * g.num_src_nodes + src[m]
         _, counts = np.unique(key, return_counts=True)
-        if counts.size == 0 or counts.max() <= 127:
+        if counts.size == 0 or counts.max() <= 256:
             keep.append(w)
     return np.asarray(keep, dtype=np.int64)
 

@@ -119,13 +119,13 @@ def test_select_dense_windows_budget():
     """Budget caps the number of densified windows, heaviest first."""
     indptr = np.array([0, 1000, 1000, 1500, 1500, 1500, 3000, 3000, 3001])
     # tr=1: window counts = per-node in-degrees
-    # int8 C: budget counts 1 byte per (row, src) cell
+    # bf16 C: budget counts 2 bytes per (row, src) cell
     wins = select_dense_windows(indptr, num_src=1000, num_dst=8, tr=1,
-                                threshold=400, budget_bytes=2 * 1000 * 1)
+                                threshold=400, budget_bytes=2 * 1000 * 2)
     assert list(wins) == [0, 5]
     wins = demoted = select_dense_windows(indptr, num_src=1000, num_dst=8,
                                           tr=1, threshold=400,
-                                          budget_bytes=1 * 1000 * 1)
+                                          budget_bytes=1 * 1000 * 2)
     assert list(demoted) == [5]  # heaviest kept under a 1-window budget
 
 
@@ -142,19 +142,20 @@ def test_hybrid_3d_features(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_hybrid_multigraph_over_int8_not_densified(rng):
-    """Per-pair multiplicity past int8's range (127) must drop the
-    window from the dense path (C is stored int8), falling back to the
-    sparse plan — result still exact."""
-    src = np.repeat(rng.integers(0, 20, 4), 200).astype(np.int32)  # x200
-    dst = np.repeat(rng.integers(0, 4, 4), 200).astype(np.int32)
+def test_hybrid_multigraph_over_exact_range_not_densified(rng):
+    """Per-pair multiplicity past bf16's exact-int range (256) must drop
+    the window from the dense path, falling back to the sparse plan —
+    result still exact.  (int8 C storage is REFUTED: the int8->bf16
+    convert into the TPU dot hangs the compile — KERNELS.md round 3.)"""
+    src = np.repeat(rng.integers(0, 20, 4), 300).astype(np.int32)  # x300
+    dst = np.repeat(rng.integers(0, 4, 4), 300).astype(np.int32)
     g = dgl.graph((src, dst), num_nodes=20)
     gp = dgl.prepare_spmm(g, te=256, bc=8, wc=2, weighted=False,
                           dense_threshold=1)
-    # every window containing a >127-multiplicity pair was dropped
+    # every window containing a >256-multiplicity pair was dropped
     if gp.spmm_hybrid_arrays is not None:
-        C = np.asarray(gp.spmm_hybrid_arrays[-2])
-        assert C.max(initial=0) <= 127
+        C = np.asarray(gp.spmm_hybrid_arrays[-2]).astype(np.float32)
+        assert C.max(initial=0) <= 256
     x = jnp.asarray(rng.normal(size=(20, 8)).astype(np.float32))
     ref = dgl.gspmm(g, "copy_lhs", "sum", x)
     out = dgl.gspmm(gp, "copy_lhs", "sum", x)

@@ -63,11 +63,13 @@ def main():
              "ns_per_edge": round(dt / E * 1e9, 3)}
         print(json.dumps(r), flush=True)
 
+    # bf16 C (int8 storage REFUTED: int8->bf16 convert into the dot
+    # hangs the TPU compile — KERNELS.md round 3)
     cases = [
-        ("int8_b3G_thrauto", 3 << 30, None, 131072, False),
-        ("int8_b6G_thr35k", 6 << 30, 35_000, 131072, False),
-        ("int8_b9G_thr20k", 9 << 30, 20_000, 131072, False),
-        ("int8_b6G_thr35k_nobucket", 6 << 30, 35_000, None, True),
+        ("bf16_b6G_thr35k", 6 << 30, 35_000, 131072, False),
+        ("bf16_b9G_thr35k", 9 << 30, 35_000, 131072, False),
+        ("bf16_b9G_thr20k", 9 << 30, 20_000, 131072, False),
+        ("bf16_b9G_thr35k_nobucket", 9 << 30, 35_000, None, True),
     ]
     for name, budget, thr, bkt, flat in cases:
         gp = dgl.prepare_spmm(g0, te=64, weighted=False, sddmm=False,
