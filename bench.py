@@ -37,10 +37,16 @@ def main():
     # One-time preprocessing (not timed), the analogue of the reference's
     # lazy CSR materialisation: hub dst-windows become dense bf16 count
     # matrices (HYB-style), the tail gets the sparse Pallas block plan.
-    # te=64 measured optimal for the remainder plan on this graph: the
-    # power-law tail pads badly at large blocks (KERNELS.md te sweep:
-    # te=64 -> 685 M edges/s vs te=256 -> 563)
-    g = dgl.prepare_spmm(g, te=64, weighted=False)
+    # Round-3 tuned config (KERNELS.md bench_bucketed3 sweep):
+    # * te=64 — the power-law tail pads badly at larger blocks;
+    # * dense_threshold=35k / budget 6 GB — 16 dense windows is the
+    #   measured optimum (28k -> 740, 35k -> 766, 45k -> 756 M edges/s);
+    # * bucket_rows=128k + flat=False — chunked SRC-BUCKETED remainder:
+    #   each chunk gathers from a <=64 MB slice at 2.07 ns/row (the
+    #   operand-size law) vs 4.68 from the full table.
+    g = dgl.prepare_spmm(g, te=64, weighted=False, flat=False,
+                         dense_threshold=35_000, dense_budget=6 << 30,
+                         bucket_rows=131072)
     x = jnp.asarray(np.random.default_rng(0)
                     .normal(size=(N, F)).astype(np.float32))
 

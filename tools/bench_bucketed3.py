@@ -66,10 +66,8 @@ def main():
     # bf16 C (int8 storage REFUTED: int8->bf16 convert into the dot
     # hangs the TPU compile — KERNELS.md round 3)
     cases = [
-        ("bf16_b6G_thr35k", 6 << 30, 35_000, 131072, False),
-        ("bf16_b9G_thr35k", 9 << 30, 35_000, 131072, False),
-        ("bf16_b9G_thr20k", 9 << 30, 20_000, 131072, False),
-        ("bf16_b9G_thr35k_nobucket", 9 << 30, 35_000, None, True),
+        ("bf16_b6G_thr28k", 6 << 30, 28_000, 131072, False),
+        ("bf16_b6G_thr45k", 6 << 30, 45_000, 131072, False),
     ]
     for name, budget, thr, bkt, flat in cases:
         gp = dgl.prepare_spmm(g0, te=64, weighted=False, sddmm=False,
