@@ -52,6 +52,11 @@ def main():
     from dgl_hack_tpu.data import random_power_law_graph
 
     N, F = 1_000_000, 128
+    if args.case in ("u_add_v", "u_dot_v", "u_add_v_plan", "u_dot_v_plan",
+                     "copy_v_plan"):
+        # per-edge (E, F) outputs double-buffer at 8 GB each for E=16M —
+        # the edge-output cases run at half scale to fit HBM
+        N = 500_000
     g0 = random_power_law_graph(N, avg_degree=16.0, alpha=2.1, seed=0)
     E = g0.num_edges()
 
