@@ -30,7 +30,14 @@ _PALLAS_OPS = ("add", "sub", "mul", "div", "dot", "copy_rhs")
 
 def _pallas_sddmm_eligible(g, op, lhs_data, rhs_data, lhs_target) -> bool:
     from ..utils.env import get_config
-    if get_config().disable_pallas:
+    cfg = get_config()
+    if cfg.disable_pallas or not cfg.sddmm_kernel:
+        # OFF by default: measured on v5e, XLA's composed path (gathers
+        # fused with the combine and the (E, F) write) beats the fused
+        # dense-window kernel across its eligible range — copy_v 1.75 vs
+        # 5.88, u_add_v 3.72 vs 7.89, u_dot_v 5.18 vs 7.22 ns/edge at
+        # N=200k/E=3.2M (KERNELS.md round 3).  DGL_TPU_SDDMM_KERNEL=1
+        # re-enables for study.
         return False
     if getattr(g, "sddmm_plan_arrays", None) is None \
             or g.edge_mask is not None:

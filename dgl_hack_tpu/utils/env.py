@@ -29,6 +29,7 @@ class Config:
     gat_softmax: str = "shift"
     gat_packed: bool = False
     no_rewrite: bool = False
+    sddmm_kernel: bool = False
 
 
 def get_config() -> Config:
@@ -47,4 +48,10 @@ def get_config() -> Config:
         # DGL_TPU_NO_REWRITE=1 disables the algebraic v-side gspmm
         # decomposition (debug/measurement escape hatch)
         no_rewrite=os.environ.get("DGL_TPU_NO_REWRITE", "0") == "1",
+        # fused dense-window sddmm kernel: measured SLOWER than XLA's
+        # fully-fused composed gathers across its eligible range on v5e
+        # (copy_v 5.9 vs 1.75, u_add_v 7.9 vs 3.7 ns/edge at N=200k —
+        # KERNELS.md round 3), so the composed path is the default;
+        # opt in for study/regression with DGL_TPU_SDDMM_KERNEL=1
+        sddmm_kernel=os.environ.get("DGL_TPU_SDDMM_KERNEL", "0") == "1",
     )

@@ -9,6 +9,14 @@ import pytest
 import dgl_hack_tpu as dgl
 
 
+@pytest.fixture(autouse=True)
+def _enable_sddmm_kernel(monkeypatch):
+    """The fused sddmm kernel is opt-in (measured slower than composed
+    XLA on v5e — KERNELS.md round 3); these tests cover its correctness
+    so they force the kernel path."""
+    monkeypatch.setenv("DGL_TPU_SDDMM_KERNEL", "1")
+
+
 def _prep(rng, num_nodes=300, num_edges=2500):
     src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     dst = rng.integers(0, num_nodes, num_edges).astype(np.int32)

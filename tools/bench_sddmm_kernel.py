@@ -5,8 +5,11 @@ plan == composed to three digits).  N=200k/E=3.2M keeps the buffer at
 1.6 GB; the script asserts the dispatch path per case."""
 import functools
 import json
+import os
 import sys
 import time
+
+os.environ["DGL_TPU_SDDMM_KERNEL"] = "1"   # opt into the kernel path
 
 import numpy as np
 
