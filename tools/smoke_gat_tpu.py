@@ -1,7 +1,12 @@
 """TPU smoke test for the fused GAT kernel: compile, correctness vs the
 composed XLA path, and timing.  Run alone (one TPU process at a time)."""
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
