@@ -311,3 +311,15 @@ def test_train_rrn_example(capsys):
                        ["--epochs", "200", "--batch", "48"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["cell_acc"] > 0.8, res
+
+
+@pytest.mark.slow
+def test_train_adaptive_sampling_example(capsys):
+    """Importance layer-sampled GCN (reference:
+    examples/pytorch/adaptive_sampling): unbiased reweighted estimator
+    trains on sampled layers, evals full-graph."""
+    import json
+    out = _run_example("examples/train_adaptive_sampling.py",
+                       ["--epochs", "120"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.75, res

@@ -53,6 +53,7 @@ MATRIX = [
     ("train_pinsage_rec.py", ["--epochs", "40"]),
     ("train_transformer.py", ["--epochs", "150"]),
     ("train_rrn.py", ["--epochs", "200", "--batch", "48"]),
+    ("train_adaptive_sampling.py", ["--epochs", "120"]),
     ("train_tree_lstm.py", ["--epochs", "8", "--n_trees", "24"]),
     ("pagerank.py", ["--n", "80", "--iters", "15"]),
 ]
