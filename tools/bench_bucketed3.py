@@ -66,11 +66,12 @@ def main():
     # bf16 C (int8 storage REFUTED: int8->bf16 convert into the dot
     # hangs the TPU compile — KERNELS.md round 3)
     cases = [
-        ("bf16_b6G_thr28k", 6 << 30, 28_000, 131072, False),
-        ("bf16_b6G_thr45k", 6 << 30, 45_000, 131072, False),
+        ("bf16_b6G_thr35k_bkt192k", 6 << 30, 35_000, 196608, False),
+        ("bf16_b6G_thr35k_te96", 6 << 30, 35_000, 131072, False),
     ]
     for name, budget, thr, bkt, flat in cases:
-        gp = dgl.prepare_spmm(g0, te=64, weighted=False, sddmm=False,
+        te = 96 if name.endswith("te96") else 64
+        gp = dgl.prepare_spmm(g0, te=te, weighted=False, sddmm=False,
                               dense_threshold=thr, dense_budget=budget,
                               bucket_rows=bkt, flat=flat)
         C = gp.spmm_hybrid_arrays[-2] if gp.spmm_hybrid_arrays else None
