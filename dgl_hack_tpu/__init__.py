@@ -49,6 +49,7 @@ from .ops.readout import (  # noqa: F401
     topk_nodes, topk_edges,
 )
 from .ops.pallas.spmm_kernel import prepare_spmm  # noqa: F401
+from .ops.rgcn import prepare_rgcn  # noqa: F401
 from . import sampling  # noqa: F401
 
 fn = function  # DGL-style alias: dgl.function
@@ -64,7 +65,8 @@ __all__ = [
     "update_all", "apply_edges", "apply_nodes", "send_and_recv", "pull",
     "push", "batch", "unbatch", "batch_hetero", "unbatch_hetero",
     "gspmm", "gsddmm", "edge_softmax",
-    "segment", "readout", "function", "fn", "prepare_spmm", "sampling",
+    "segment", "readout", "function", "fn", "prepare_spmm",
+    "prepare_rgcn", "sampling",
     "transform", "traversal", "propagate",
     "khop_graph", "line_graph", "to_bidirected", "add_self_loop",
     "remove_self_loop", "to_simple", "remove_edges", "node_subgraph",

@@ -246,9 +246,17 @@ class RelGraphConv(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x: Array, etypes: Array,
-                 norm: Optional[Array] = None, deterministic: bool = True):
+                 norm: Optional[Array] = None, deterministic: bool = True,
+                 plan=None):
         """etypes/norm are per-edge in user (eid) order, like the reference;
-        they are permuted to internal order once here."""
+        they are permuted to internal order once here.
+
+        ``plan`` (ops.rgcn.prepare_rgcn) switches the basis path to the
+        TWO-LEVEL (dst,etype)-pair aggregation: one narrow x[src] gather
+        per edge through the pair graph's Pallas plans, MXU projection at
+        M pair rows, dst segment-sum — the TPU answer to the fork's
+        etype-sorted fused RGCN kernels
+        (src/kernel/cuda/binary_reduce_impl.cu:914)."""
         in_feats = x.shape[-1]
         B = self.num_bases
         if B is None or B > self.num_rels or B <= 0:
@@ -257,6 +265,28 @@ class RelGraphConv(nn.Module):
             etypes = jnp.asarray(etypes)[g.int2user]
             if norm is not None:
                 norm = jnp.asarray(norm)[g.int2user]
+
+        if plan is not None and self.regularizer == "basis":
+            from ..ops.rgcn import (rgcn_aggregate_pairs,
+                                    rgcn_basis_message, rgcn_reduce_pairs)
+            weight = self.param("weight", xavier,
+                                (B, in_feats, self.out_feats), x.dtype)
+            w_comp = self.param("w_comp", xavier, (self.num_rels, B),
+                                x.dtype) if B < self.num_rels else None
+            agg = rgcn_aggregate_pairs(plan, x, norm)
+            msg_p = rgcn_basis_message(plan, agg, weight, w_comp)
+            h = rgcn_reduce_pairs(plan, msg_p, g.num_dst_nodes)
+            if self.use_bias:
+                h = h + self.param("h_bias", nn.initializers.zeros,
+                                   (self.out_feats,), x.dtype)
+            if self.self_loop:
+                loop_w = self.param("loop_weight", xavier,
+                                    (in_feats, self.out_feats), x.dtype)
+                h = h + x @ loop_w
+            if self.activation is not None:
+                h = self.activation(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            return h
 
         if self.regularizer == "basis":
             weight = self.param("weight", xavier,

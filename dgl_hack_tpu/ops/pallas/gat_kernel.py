@@ -434,7 +434,10 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed, z,
-               er, w, src, dst, *plan_arrays):
+               er, w, src, dst, mask, *plan_arrays):
+    # mask: (E,) f32 edge mask (padded graphs; zero-size = no mask).  The
+    # forward never reads it (mask-aware plans skip padded slots); the
+    # backward zeroes padded-edge logit grads before the dense segment sum
     rst, _, _ = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
                              w if has_w else None, src.shape[0], slope,
                              mode, softmax, packed)
@@ -442,16 +445,16 @@ def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed, z,
 
 
 def _gat_fused_fwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
-                   z, er, w, src, dst, *plan_arrays):
+                   z, er, w, src, dst, mask, *plan_arrays):
     rst, den, m = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
                                w if has_w else None, src.shape[0], slope,
                                mode, softmax, packed)
-    return rst, (z, er, w, src, dst, plan_arrays, rst, den, m)
+    return rst, (z, er, w, src, dst, mask, plan_arrays, rst, den, m)
 
 
 def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
                    res, g):
-    z, er, w, src, dst, plan_arrays, rst, den, m = res
+    z, er, w, src, dst, mask, plan_arrays, rst, den, m = res
     E = src.shape[0]
     H = er.shape[1]
     HD = z.shape[1] - H
@@ -490,6 +493,11 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
         aw, da, dw = a, daw, jnp.zeros_like(w)
     dlogit = a * (da - sds_d)
     draw = dlogit * jnp.where(raw >= 0, 1.0, np.float32(slope))
+    if mask.shape[0]:
+        # padded edges carry garbage (src/dst point at filler rows); the
+        # plan-driven reductions skip them by construction, but der's
+        # dense segment sum below must not see them
+        draw = draw * mask[:, None]
 
     # der[v] = sum_{e->v} draw_e  (dst-sorted segment sum)
     der = jax.ops.segment_sum(draw, dst, N_dst,
@@ -507,7 +515,8 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
     zeros = tuple(np.zeros(a_.shape, jax.dtypes.float0) for a_ in plan_arrays)
     return (dz, der, dw,
             np.zeros(src.shape, jax.dtypes.float0),
-            np.zeros(dst.shape, jax.dtypes.float0)) + zeros
+            np.zeros(dst.shape, jax.dtypes.float0),
+            np.zeros(mask.shape, jax.dtypes.float0)) + zeros
 
 
 _gat_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)
@@ -522,7 +531,8 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
                          negative_slope: float = 0.2,
                          mode: str = "f32x2",
                          softmax: str = "shift",
-                         packed: bool = False) -> Array:
+                         packed: bool = False,
+                         edge_mask: Optional[Array] = None) -> Array:
     """Fused GAT edge phase: softmax_dst(leaky_relu(el[u]+er[v])) * Wh[u],
     summed over incoming edges.
 
@@ -530,7 +540,7 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
     attn_w optional (E, H) post-softmax multiplier (attention dropout) in
     internal edge order.  Returns (N_dst, H, D) in fsrc.dtype.
     """
-    meta_fwd, meta_rev = plan_meta
+    meta_fwd, meta_rev = plan_meta[0], plan_meta[1]
     N_src, H, D = fsrc.shape
     z = jnp.concatenate(
         [fsrc.reshape(N_src, H * D).astype(jnp.float32),
@@ -538,7 +548,9 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
     packed = packed and (H * D) % 2 == 0   # feature half-pack needs even HD
     has_w = attn_w is not None
     w = attn_w if has_w else jnp.zeros((0, H), fsrc.dtype)
+    mk = jnp.zeros((0,), jnp.float32) if edge_mask is None \
+        else edge_mask.astype(jnp.float32)
     rst = _gat_fused_jit(meta_fwd, meta_rev, float(negative_slope), has_w,
                          mode, softmax, packed, z, er.astype(jnp.float32),
-                         w, src, dst, *plan_arrays)
+                         w, src, dst, mk, *plan_arrays)
     return rst.astype(fsrc.dtype).reshape(-1, H, D)

@@ -129,6 +129,36 @@ class SegmentPlan(NamedTuple):
 N_PLAN_ARRAYS = 8
 
 
+class PlanInfo(NamedTuple):
+    """Static plan provenance appended to ``spmm_plan_meta`` /
+    ``spmm_hybrid_meta`` as a third element (hashable — it rides the
+    Graph pytree aux and jit static args).
+
+    masked:      plans were built over the REAL edges of a graph that
+                 carries an ``edge_mask`` (padded slots never enter the
+                 plan; the dispatch layer multiplies edge weights by the
+                 mask so AD masks dw automatically).
+    flat_width:  the f32-word operand width buckets/budgets were sized at
+                 during prepare_spmm — dispatch warns when an op runs at
+                 a wider width over src-bucketed plans (the bucket slices
+                 then exceed the 64 MB fast-gather regime: silent ~2.2x
+                 gather slowdown, KERNELS.md round 3).
+    bucket_rows: rows per src bucket (0 = unbucketed).
+    """
+    masked: bool = False
+    flat_width: int = 128
+    bucket_rows: int = 0
+
+
+def plan_info(plan_meta) -> PlanInfo:
+    """PlanInfo of a (fwd_meta, rev_meta[, info]) tuple (default if absent
+    — plans built by pre-round-4 callers)."""
+    if plan_meta is not None and len(plan_meta) > 2 \
+            and isinstance(plan_meta[2], PlanInfo):
+        return plan_meta[2]
+    return PlanInfo()
+
+
 def flat_plans_fit(plan_meta, plan_arrays, width_words: int) -> bool:
     """Dispatch-time guard: False iff either direction's plan is FLAT and
     its (slots x width) message buffer would exceed FLAT_MAX_BYTES — the
@@ -1062,6 +1092,60 @@ def build_gspmm_plan(csc_indptr, dst_sorted, src_of_edges, csr_indptr,
     return GspmmPlan(fwd, rev)
 
 
+def build_gspmm_plan_edges(src_real: np.ndarray, dst_real: np.ndarray,
+                           num_src: int, num_dst: int,
+                           eids: Optional[np.ndarray] = None,
+                           e_full: Optional[int] = None,
+                           tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
+                           bc: int = DEFAULT_BC, wc: int = DEFAULT_WC,
+                           flat="auto",
+                           flat_max_slots: int = FLAT_MAX_SLOTS,
+                           bucket_rows: Optional[int] = None,
+                           gather_n_fwd: Optional[int] = None,
+                           gather_n_rev: Optional[int] = None) -> GspmmPlan:
+    """Build both direction plans from a REAL-edge list (mask-aware).
+
+    ``src_real``/``dst_real`` are the unpadded edges, dst-sorted.  ``eids``
+    maps each real edge's position to its slot in the FULL (padded) edge
+    array of length ``e_full`` — plan perms are composed through it so
+    edge weights index the caller's padded arrays directly, with the
+    sentinel at ``e_full``.  This is how padded graphs (static-shape
+    minibatching, spatial partitions) get full-speed Pallas plans: the
+    plan simply never visits a masked slot.
+
+    gather_n_fwd/rev override the gather-table sizes (the spatial halo
+    path gathers forward from a table smaller than num_src)."""
+    src_real = np.asarray(src_real)
+    dst_real = np.asarray(dst_real)
+    Er = src_real.shape[0]
+    if eids is None:
+        eids = np.arange(Er, dtype=np.int64)
+    if e_full is None:
+        e_full = Er
+    gf = num_src if gather_n_fwd is None else gather_n_fwd
+    gr = num_dst if gather_n_rev is None else gather_n_rev
+    csc = np.zeros(num_dst + 1, np.int64)
+    np.cumsum(np.bincount(dst_real, minlength=num_dst), out=csc[1:])
+    fwd = build_segment_plan(csc, dst_real, src_real, num_dst, tr, te, bc,
+                             wc, gather_n=gf, flat=flat,
+                             flat_max_slots=flat_max_slots,
+                             bucket_rows=bucket_rows)
+    order = np.argsort(src_real, kind="stable")
+    csr = np.zeros(num_src + 1, np.int64)
+    np.cumsum(np.bincount(src_real, minlength=num_src), out=csr[1:])
+    rev = build_segment_plan(csr, src_real[order], dst_real[order],
+                             num_src, tr, te, bc, wc, gather_n=gr,
+                             flat=flat, flat_max_slots=flat_max_slots,
+                             bucket_rows=bucket_rows)
+
+    def compose(plan, ids):
+        comp = np.where(plan.perm < Er,
+                        ids[np.minimum(plan.perm, Er - 1)], e_full)
+        return plan._replace(perm=comp.astype(np.int32))
+
+    return GspmmPlan(compose(fwd, eids), compose(rev, eids[order]))
+
+
 def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
                  dst: Array, x: Array, edge_weight: Optional[Array] = None,
                  reduce_op: str = "sum",
@@ -1073,7 +1157,7 @@ def gspmm_pallas(plan_meta, plan_arrays: Sequence[Array], src: Array,
     + rev.device_arrays().  x (N_src, F...); edge_weight (E,), (E,1) or
     (E,F...) in internal edge order.
     """
-    meta_fwd, meta_rev = plan_meta
+    meta_fwd, meta_rev = plan_meta[0], plan_meta[1]
     shape = x.shape
     x2 = x.reshape(shape[0], -1)
     w = edge_weight
@@ -1235,7 +1319,7 @@ def gspmm_hybrid(plan_meta, plan_arrays: Sequence[Array], x: Array,
 
     plan_meta = (rem_fwd_meta, rem_rev_meta); plan_arrays = remainder
     fwd(6) + rev(6) + (C, dense_rows)."""
-    meta_fwd, meta_rev = plan_meta
+    meta_fwd, meta_rev = plan_meta[0], plan_meta[1]
     shape = x.shape
     x2 = x.reshape(shape[0], -1)
     out = _gspmm_hybrid_jit(meta_fwd, meta_rev, mode, x2, *plan_arrays)
@@ -1356,7 +1440,18 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
     operand width of ``flat_width`` f32 words (set it to your widest
     feature dim — e.g. H*D+H for fused GAT); flat=False forces chunked
     plans.  Ops whose actual width would blow the budget fall back to the
-    composed XLA path at dispatch (see flat_plans_fit)."""
+    composed XLA path at dispatch (see flat_plans_fit).
+
+    Graphs carrying an ``edge_mask`` (static-shape padding) get
+    MASK-AWARE plans built over the real edges only (build_gspmm_plan_
+    edges); the dense-hub and sddmm plans are skipped there (their
+    device-side builders would count padded slots).  Dispatch handles the
+    rest (ops/spmm.py multiplies edge weights by the mask so AD masks dw).
+    """
+    if g.edge_mask is not None:
+        return _prepare_spmm_masked(g, tr=tr, te=te, bc=bc, wc=wc,
+                                    flat=flat, flat_width=flat_width,
+                                    bucket_rows=bucket_rows)
     if g.csr_indptr is None or g.csr_eids is None:
         raise ValueError("prepare_spmm requires the graph's CSR format")
     if bucket_rows == "auto":
@@ -1378,6 +1473,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
     if wc is None:
         wc = max(1, -(-g.num_dst_nodes // tr))   # unbounded window span
     fms = max(te, FLAT_MAX_BYTES // (max(flat_width, 1) * 4))
+    info = PlanInfo(masked=False, flat_width=flat_width,
+                    bucket_rows=bucket_rows or 0)
     out = g
     if weighted:
         plan = build_gspmm_plan(
@@ -1388,7 +1485,7 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             bucket_rows=bucket_rows)
         arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
         out = out.replace(spmm_plan_arrays=arrays,
-                          spmm_plan_meta=plan.static_meta)
+                          spmm_plan_meta=plan.static_meta + (info,))
     if dense_hub and g.edge_mask is None:
         wins = select_dense_windows(
             g.host("csc_indptr"), g.num_src_nodes, g.num_dst_nodes, tr,
@@ -1405,7 +1502,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
                       + (C, rows))
             out = out.replace(
                 spmm_hybrid_arrays=arrays,
-                spmm_hybrid_meta=(fwd.static_meta, rev.static_meta))
+                spmm_hybrid_meta=(fwd.static_meta, rev.static_meta,
+                                  info))
     if not weighted and (out.spmm_hybrid_arrays is None):
         # no dense windows found: fall back to the full sparse plan so
         # copy_u still has a Pallas path
@@ -1417,7 +1515,7 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             bucket_rows=bucket_rows)
         arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
         out = out.replace(spmm_plan_arrays=arrays,
-                          spmm_plan_meta=plan.static_meta)
+                          spmm_plan_meta=plan.static_meta + (info,))
     if sddmm and g.edge_mask is None \
             and out.spmm_plan_arrays is not None:
         from .sddmm_kernel import build_sddmm_plan
@@ -1426,3 +1524,44 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
         out = out.replace(sddmm_plan_arrays=sp.device_arrays(),
                           sddmm_plan_meta=sp.static_meta)
     return out
+
+
+def _prepare_spmm_masked(g, tr: int, te: int, bc: Optional[int],
+                         wc: Optional[int], flat, flat_width: int,
+                         bucket_rows):
+    """Mask-aware prepare_spmm: plans over the REAL edges of a padded
+    graph (edge_mask carries the padding).  Plan perms are composed to
+    FULL (padded) edge positions so weighted ops index the caller's
+    padded edge arrays unchanged; the sentinel sits at E_full.  Dense-hub
+    and sddmm plans are intentionally skipped (their device-side builders
+    count every slot).  This is what lets spatial partitions
+    (parallel/halo.py local graphs) and padded minibatches ride the full
+    Pallas path — the reference serves its distributed path with the same
+    kernels as single-GPU (contrib/dis_kvstore.py:670)."""
+    mask = g.host("edge_mask").astype(bool)
+    src = g.host("src")
+    dst = g.host("dst")
+    e_full = src.shape[0]
+    eids = np.nonzero(mask)[0].astype(np.int64)
+    src_r = src[eids].astype(np.int64)
+    dst_r = dst[eids].astype(np.int64)
+    if bucket_rows == "auto":
+        B = max(8, ((64 << 20) // (max(flat_width, 1) * 4)) // 8 * 8)
+        n_tab = max(g.num_src_nodes, g.num_dst_nodes)
+        bucket_rows = B if n_tab > 2 * B else None
+    if bc is None:
+        bc = max(8, (MSG_CHUNK_BYTES // (te * max(flat_width, 1) * 4))
+                 // 8 * 8)
+    if wc is None:
+        wc = max(1, -(-g.num_dst_nodes // tr))
+    fms = max(te, FLAT_MAX_BYTES // (max(flat_width, 1) * 4))
+    plan = build_gspmm_plan_edges(
+        src_r, dst_r, g.num_src_nodes, g.num_dst_nodes, eids=eids,
+        e_full=e_full, tr=tr, te=te, bc=bc, wc=wc, flat=flat,
+        flat_max_slots=fms, bucket_rows=bucket_rows)
+    info = PlanInfo(masked=True, flat_width=flat_width,
+                    bucket_rows=(plan.fwd.gather_rows
+                                 or plan.rev.gather_rows or 0))
+    arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
+    return g.replace(spmm_plan_arrays=arrays,
+                     spmm_plan_meta=plan.static_meta + (info,))

@@ -56,10 +56,19 @@ def _pallas_sddmm_eligible(g, op, lhs_data, rhs_data, lhs_target) -> bool:
             return False          # (N, H, D) multi-head handled in-kernel
     # gathered-message buffer budget (the 'u' slot gather is (nb*te, F))
     from .pallas.spmm_kernel import FLAT_MAX_BYTES
+    from ..utils.env import dispatch_log
     width = int(np.prod(rhs_data.shape[1:])) if rhs_data.ndim > 1 else 1
     nb = g.sddmm_plan_meta[4]
     te = g.sddmm_plan_meta[3]
-    return nb * te * max(width, 1) * 4 <= FLAT_MAX_BYTES
+    if nb * te * max(width, 1) * 4 > FLAT_MAX_BYTES:
+        # this fallback used to be SILENT and once made an A/B surface
+        # bench measure the composed path against itself (KERNELS.md
+        # round 3 "16.8 == 16.8") — always say so now
+        dispatch_log("gsddmm", "composed",
+                     f"kernel requested but (nb*te, {width}) message "
+                     "buffer exceeds the 2 GB budget")
+        return False
+    return True
 
 
 def gsddmm(g, op: str,
@@ -89,7 +98,8 @@ def gsddmm(g, op: str,
     if rhs_target == "v" and _pallas_sddmm_eligible(
             g, op, lhs_data, rhs_data, lhs_target):
         from .pallas.sddmm_kernel import gsddmm_pallas
-        from ..utils.env import get_config
+        from ..utils.env import dispatch_log, get_config
+        dispatch_log("gsddmm", "kernel", f"{op} {lhs_target}-op-v")
         out = gsddmm_pallas(g, op, None if op == "copy_rhs" else lhs_data,
                             rhs_data, lhs_target,
                             mode=get_config().spmm_mode)

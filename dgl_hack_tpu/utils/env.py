@@ -30,6 +30,7 @@ class Config:
     gat_packed: bool = False
     no_rewrite: bool = False
     sddmm_kernel: bool = False
+    debug_dispatch: bool = False
 
 
 def get_config() -> Config:
@@ -54,4 +55,24 @@ def get_config() -> Config:
         # KERNELS.md round 3), so the composed path is the default;
         # opt in for study/regression with DGL_TPU_SDDMM_KERNEL=1
         sddmm_kernel=os.environ.get("DGL_TPU_SDDMM_KERNEL", "0") == "1",
+        # DGL_TPU_DEBUG_DISPATCH=1 prints one line per op-dispatch decision
+        # (which path ran: hybrid / pallas-flat / pallas-bucketed /
+        # composed / kernel, and WHY on fallbacks) — silent fallbacks like
+        # the sddmm 2 GB-budget case become observable.  The TPU analogue
+        # of the reference's SelectFormat logging
+        # (src/graph/unit_graph.h:211-217).
+        debug_dispatch=os.environ.get("DGL_TPU_DEBUG_DISPATCH", "0") == "1",
     )
+
+
+def dispatch_log(op: str, path: str, detail: str = "") -> None:
+    """One-line trace-time dispatch record (env-gated).
+
+    Printed while the op is being TRACED (dispatch decisions are static),
+    so each jitted graph/op combination logs once per compilation, not per
+    step."""
+    if get_config().debug_dispatch:
+        msg = f"[dgl-tpu dispatch] {op}: {path}"
+        if detail:
+            msg += f" ({detail})"
+        print(msg, flush=True)

@@ -217,3 +217,44 @@ def test_nn_sequential_and_weight_basis(rng):
     ident = gnn.Identity()
     pi = ident.init(jax.random.PRNGKey(0), x)
     assert np.allclose(np.asarray(ident.apply(pi, x)), np.asarray(x))
+
+
+def test_relgraphconv_pair_plan(rng=np.random.default_rng(44)):
+    """Two-level (dst,etype)-pair RGCN fast path (ops/rgcn.py) ==
+    composed per-edge path, fwd + grads, with and without basis
+    compression and per-edge norm.  Reference: the fork's fused RGCN
+    kernels over etype-sorted CSR (binary_reduce_impl.cu:914)."""
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.nn import RelGraphConv
+    n, e, r = 200, 1500, 7
+    g = dgl.graph((rng.integers(0, n, e), rng.integers(0, n, e)),
+                  num_nodes=n)
+    et = rng.integers(0, r, e).astype(np.int32)
+    x = jnp.asarray(rng.normal(size=(n, 12)).astype(np.float32))
+    norm = jnp.asarray(rng.random((e, 1)).astype(np.float32))
+    plan = dgl.prepare_rgcn(g, et, r, te=64)
+    assert plan.num_pairs <= e
+    for B in (3, None):
+        layer = RelGraphConv(out_feats=6, num_rels=r, num_bases=B,
+                             self_loop=True)
+        params = layer.init(jax.random.PRNGKey(0), g, x, jnp.asarray(et))
+        for nrm in (None, norm):
+            slow = layer.apply(params, g, x, jnp.asarray(et), nrm)
+            fast = layer.apply(params, g, x, jnp.asarray(et), nrm,
+                               plan=plan)
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                       rtol=1e-3, atol=1e-4)
+
+    layer = RelGraphConv(out_feats=6, num_rels=r, num_bases=3)
+    params = layer.init(jax.random.PRNGKey(0), g, x, jnp.asarray(et))
+
+    def loss(p, use_plan):
+        o = layer.apply(p, g, x, jnp.asarray(et), norm,
+                        plan=plan if use_plan else None)
+        return (o ** 2).sum()
+
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    g2 = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-3)

@@ -377,3 +377,124 @@ def test_sampled_dp_sage_multichip(mesh, rng=np.random.default_rng(8)):
                     jax.tree_util.tree_leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# round 4: Pallas plans threaded into the spatial path (attach_spmm_plans)
+# ---------------------------------------------------------------------------
+def _planned_setup(rng, n=400, e=3000, F=12, hub_k=8, flat_width=128):
+    from dgl_hack_tpu.parallel import attach_spmm_plans
+    g = _rand_graph(rng, n, e)
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    plan = build_spatial_plan(g, 8, method="fennel", seed=0, hub_k=hub_k)
+    planp = attach_spmm_plans(plan, te=64, flat_width=flat_width)
+    return g, x, plan, planp
+
+
+@pytest.mark.parametrize("reduce_op", ["sum", "mean", "max", "min"])
+def test_spatial_plans_halo_gspmm(mesh, reduce_op,
+                                  rng=np.random.default_rng(40)):
+    """Plan-driven split reduce == composed split reduce == 1-chip oracle."""
+    g, x, plan, planp = _planned_setup(rng)
+    assert planp.spmm_meta_local is not None
+    dev = planp.device_arrays()
+    assert "spl_0" in dev and "spr_0" in dev and "spg_0" in dev
+    xs = jnp.asarray(shard_features(planp, x))
+    fn = make_halo_gspmm(planp, mesh, reduce_op=reduce_op, overlap=True)
+    with mesh:
+        out_sh = jax.jit(fn)(xs, dev)
+    out = unshard_rows(planp, np.asarray(out_sh), g.num_nodes())
+    ref = np.asarray(dgl.gspmm(g, "copy_lhs", reduce_op, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_plans_weighted_grads(mesh, rng=np.random.default_rng(41)):
+    """u_mul_e over attached plans: dx/dw match the no-plan spatial path
+    (whose own correctness vs single-chip is covered above)."""
+    from dgl_hack_tpu.parallel.halo import shard_edata
+    g, x, plan, planp = _planned_setup(rng)
+    e = g.num_edges()
+    w = rng.normal(size=(e,)).astype(np.float32)
+    wl, wr = (jnp.asarray(a) for a in shard_edata(plan, w, layout="split"))
+    dev_p, dev_r = planp.device_arrays(), plan.device_arrays()
+    f_p = make_halo_gspmm(planp, mesh, reduce_op="sum", weighted=True)
+    f_r = make_halo_gspmm(plan, mesh, reduce_op="sum", weighted=True)
+    xs = jnp.asarray(shard_features(plan, x))
+
+    def loss(f, dev):
+        def inner(xs_, wl_, wr_):
+            return (jax.jit(f)(xs_, dev, wl_, wr_) ** 2).sum()
+        return inner
+
+    with mesh:
+        gp = jax.grad(loss(f_p, dev_p), argnums=(0, 1, 2))(xs, wl, wr)
+        gr = jax.grad(loss(f_r, dev_r), argnums=(0, 1, 2))(xs, wl, wr)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_spatial_plans_gat_fused(mesh, rng=np.random.default_rng(42)):
+    """Spatial GAT with 'graph' plans attached (fused Pallas kernel inside
+    shard_map, mask-aware) == the composed spatial GAT, fwd + param grads.
+    The round-4 deliverable: single-chip kernel wins serving the
+    multi-chip path (VERDICT r3 #1)."""
+    from dgl_hack_tpu.parallel import make_spatial_gat
+    H, hid, C, F = 4, 8, 4, 10
+    g, x, plan, planp = _planned_setup(rng, F=F,
+                                       flat_width=H * hid + 2 * H)
+    dev_p, dev_r = planp.device_arrays(), plan.device_arrays()
+    init_p, fwd_p = make_spatial_gat(planp, mesh, hidden=hid, out_feats=C,
+                                     heads=(H, 1))
+    init_r, fwd_r = make_spatial_gat(plan, mesh, hidden=hid, out_feats=C,
+                                     heads=(H, 1))
+    xs = jnp.asarray(shard_features(planp, x))
+    with mesh:
+        params = init_p(jax.random.PRNGKey(0), F)
+
+    def loss(fwd, dev):
+        def inner(p):
+            return (jax.jit(fwd)(p, xs, dev) ** 2).sum()
+        return inner
+
+    with mesh:
+        lp, gp = jax.value_and_grad(loss(fwd_p, dev_p))(params)
+        lr, gr = jax.value_and_grad(loss(fwd_r, dev_r))(params)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-4)
+
+
+def test_masked_prepare_spmm(rng=np.random.default_rng(43)):
+    """prepare_spmm on an edge_mask graph builds mask-aware plans; fwd and
+    grads match the composed masked path, padded dw rows stay zero."""
+    from dgl_hack_tpu.ops.pallas.spmm_kernel import plan_info
+    from dgl_hack_tpu.ops.spmm import gspmm
+    n, e = 300, 2500
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    mask = rng.random(e) < 0.8
+    g = dgl.graph((src, dst), num_nodes=n, edge_mask=mask)
+    gp = dgl.prepare_spmm(g, te=64)
+    assert plan_info(gp.spmm_plan_meta).masked
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(e, 1)).astype(np.float32))
+    for red in ("sum", "mean", "max", "min"):
+        np.testing.assert_allclose(
+            np.asarray(gspmm(gp, "copy_lhs", red, x)),
+            np.asarray(gspmm(g, "copy_lhs", red, x)),
+            rtol=1e-4, atol=1e-4)
+
+    def f(graph, x_, w_):
+        return (gspmm(graph, "mul", "sum", x_, w_, "u", "e") ** 2).sum()
+
+    gx_p, gw_p = jax.grad(f, argnums=(1, 2))(gp, x, w)
+    gx_c, gw_c = jax.grad(f, argnums=(1, 2))(g, x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_c),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_c),
+                               rtol=1e-3, atol=1e-4)
+    mask_int = mask if gp.int2user is None \
+        else mask[np.asarray(gp.int2user)]
+    assert np.allclose(np.asarray(gw_p)[~mask_int], 0.0)
