@@ -323,3 +323,28 @@ def test_train_adaptive_sampling_example(capsys):
                        ["--epochs", "120"], capsys)
     res = json.loads(out.strip().splitlines()[-1])
     assert res["test_acc"] > 0.75, res
+
+
+@pytest.mark.slow
+def test_train_capsule_example(capsys):
+    """Capsule routing-by-agreement as message passing (reference:
+    examples/pytorch/capsule DGLRoutingLayer): coupling softmax + copy_e
+    gspmm + e-dot-v gsddmm inside a fori_loop, margin loss."""
+    import json
+    out = _run_example("examples/train_capsule.py",
+                       ["--epochs", "40"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_acc"] > 0.8, res
+
+
+@pytest.mark.slow
+def test_train_graphwriter_example(capsys):
+    """GraphWriter-lite KG->text (reference:
+    examples/pytorch/graphwriter): graph-transformer encoder with
+    relation-biased u_dot_v attention + GRU cross-attention decoder;
+    held-out token accuracy far above the ~3.6% chance floor."""
+    import json
+    out = _run_example("examples/train_graphwriter.py",
+                       ["--epochs", "400"], capsys)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["test_token_acc"] > 0.5, res

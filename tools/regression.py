@@ -54,6 +54,8 @@ MATRIX = [
     ("train_transformer.py", ["--epochs", "150"]),
     ("train_rrn.py", ["--epochs", "200", "--batch", "48"]),
     ("train_adaptive_sampling.py", ["--epochs", "120"]),
+    ("train_capsule.py", ["--epochs", "60"]),
+    ("train_graphwriter.py", ["--epochs", "400"]),
     ("train_tree_lstm.py", ["--epochs", "8", "--n_trees", "24"]),
     ("pagerank.py", ["--n", "80", "--iters", "15"]),
 ]

@@ -276,9 +276,11 @@ def main():
     ap.add_argument("--comm-dtype", default="bf16",
                     choices=["f32", "bf16"],
                     help="fabric precision for halo activations")
-    ap.add_argument("--attach-plans", action="store_true", default=True)
-    ap.add_argument("--no-attach-plans", dest="attach_plans",
-                    action="store_false")
+    # Pallas plans run in INTERPRET mode off-TPU — attaching them to the
+    # CPU-mesh harness multiplies runtime ~100x for no measurable signal
+    # (correctness is covered by tests/test_parallel.py).  Opt in on a
+    # real pod.
+    ap.add_argument("--attach-plans", action="store_true", default=False)
     ap.add_argument("--ici-gbps", type=float, default=ICI_GBPS["v5p"],
                     help="per-device ICI throughput for the projection "
                          "(v5p default)")
