@@ -37,16 +37,21 @@ def main():
     # One-time preprocessing (not timed), the analogue of the reference's
     # lazy CSR materialisation: hub dst-windows become dense bf16 count
     # matrices (HYB-style), the tail gets the sparse Pallas block plan.
-    # Round-3 tuned config (KERNELS.md bench_bucketed3 sweep):
-    # * te=64 — the power-law tail pads badly at larger blocks;
-    # * dense_threshold=35k / budget 6 GB — 16 dense windows is the
-    #   measured optimum (28k -> 740, 35k -> 766, 45k -> 756 M edges/s);
-    # * bucket_rows=128k + flat=False — chunked SRC-BUCKETED remainder:
-    #   each chunk gathers from a <=64 MB slice at 2.07 ns/row (the
-    #   operand-size law) vs 4.68 from the full table.
-    g = dgl.prepare_spmm(g, te=64, weighted=False, flat=False,
-                         dense_threshold=35_000, dense_budget=6 << 30,
-                         bucket_rows=131072)
+    # Round-4 tuned config (KERNELS.md profile_headline_floor +
+    # bench_headline_r4): the floor accounting showed the round-3
+    # src-bucketed remainder paid ~9 ms of chunk-accumulator traffic to
+    # reduce 3.4% of the edges — at thr<=35k the remainder is
+    # accumulator-bound, not gather-bound, so the right layout is FLAT
+    # (one kernel pass, windows written once, no accumulator):
+    # * dense_threshold=28k / budget 6 GB -> 18 dense windows;
+    # * te=64 flat remainder (te=32 pads in-kernel, te=128 pads blocks);
+    # * measured 940 M edges/s scalar-carry / 891 full-feature carry
+    #   (this loop carries the full (N, F) output like a layer stack —
+    #   the honest end-to-end convention; the +0.8 ms vs scalar carry is
+    #   exactly the output's extra elementwise pass).
+    g = dgl.prepare_spmm(g, te=64, weighted=False, flat=True,
+                         dense_threshold=28_000, dense_budget=6 << 30,
+                         bucket_rows=None)
     x = jnp.asarray(np.random.default_rng(0)
                     .normal(size=(N, F)).astype(np.float32))
 

@@ -1,0 +1,158 @@
+"""Fused-GAT forward+backward (VJP) on-chip benchmark (VERDICT r3 #4b).
+
+Round 3 measured the fused forward at 17.1 ns/edge (bucketed+packed) but
+never the coupled VJP; a fwd win that vanishes in the train step is not
+a win.  This tool measures, at the floor-accounting shape (N=100k,
+E=1.6M, H=8, D=64):
+
+  * fwd and fwd+bwd ns/edge for: composed XLA, fused (chunked-acc),
+    fused + src-bucketed plans, fused + bucketed + packed-z;
+  * the bwd components so the accounting sums: the reverse-plan reduce
+    at combined (HD+H) width, the two dense edge gathers (zsrc/zdst),
+    and the der segment-sum;
+  * Cora-dims 200-epoch training rows (the KERNELS.md:23 table refresh)
+    are bench_train_tpu.py's job — run it after this.
+
+Reference: the fork's explicit backward kernels
+(src/kernel/cuda/binary_reduce_impl.cu:124-309).
+"""
+import functools
+import gc
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timed_loop(fn, args, k_lo=2, k_hi=6, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def loop(iters, *a):
+        def body(i, c):
+            return fn(c, *a)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    def measure(k):
+        float(loop(k, *args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(k, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (measure(k_hi) - measure(k_lo)) / (k_hi - k_lo)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.data import random_power_law_graph
+    from dgl_hack_tpu.ops.gat import gat_attention
+
+    N, H, D = 100_000, 8, 64
+    ZW = H * D + 2 * H
+    g0 = random_power_law_graph(N, avg_degree=16.0, alpha=2.1, seed=0)
+    E = g0.num_edges()
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    fsrc = jax.random.normal(k1, (N, H, D), jnp.float32)
+    el = jax.random.normal(k2, (N, H), jnp.float32)
+    er = jax.random.normal(k3, (N, H), jnp.float32)
+
+    def run(name, g, packed):
+        os.environ["DGL_TPU_GAT_PACKED"] = "1" if packed else "0"
+
+        def fwd(c, f, l, r):
+            o = gat_attention(g, f + c * 0, l, r)
+            return o[0, 0, 0] * 1e-20 + c * 0
+        dt_f = timed_loop(fwd, (fsrc, el, er))
+
+        def step(c, f, l, r):
+            def loss(f_, l_, r_):
+                o = gat_attention(g, f_, l_, r_)
+                return (o * o).sum()
+            v, (gf, gl, gr) = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                f + c * 0, l, r)
+            return (v * 1e-20 + gf[0, 0, 0] * 1e-20 + gl[0, 0] * 1e-20
+                    + gr[0, 0] * 1e-20 + c * 0)
+        dt_s = timed_loop(step, (fsrc, el, er))
+        print(json.dumps({
+            "case": name,
+            "fwd_ms": round(dt_f * 1e3, 2),
+            "fwd_ns_per_edge": round(dt_f / E * 1e9, 2),
+            "fwdbwd_ms": round(dt_s * 1e3, 2),
+            "fwdbwd_ns_per_edge": round(dt_s / E * 1e9, 2),
+            "bwd_ns_per_edge": round((dt_s - dt_f) / E * 1e9, 2),
+        }), flush=True)
+        return dt_f, dt_s
+
+    # composed oracle
+    run("composed", g0, False)
+
+    # fused, chunked-acc (round-2 config)
+    g_c = dgl.prepare_spmm(g0, te=256, flat=False, dense_hub=False,
+                           sddmm=False, flat_width=ZW, bucket_rows=None)
+    run("fused_chunked", g_c, False)
+    del g_c
+    gc.collect()
+
+    # fused + bucketed (+ packed) — the round-3 champion config
+    g_b = dgl.prepare_spmm(g0, te=256, flat=False, dense_hub=False,
+                           sddmm=False, flat_width=ZW,
+                           bucket_rows="auto")
+    from dgl_hack_tpu.ops.pallas.spmm_kernel import plan_info
+    print(json.dumps({"bucketed_meta": {
+        "gather_rows": g_b.spmm_plan_meta[0][6],
+        "chunks": g_b.spmm_plan_meta[0][4],
+        "rev_chunks": g_b.spmm_plan_meta[1][4]}}), flush=True)
+    run("fused_bucketed", g_b, False)
+    run("fused_bucketed_packed", g_b, True)
+
+    # ---- bwd components (bucketed config)
+    from dgl_hack_tpu.ops.pallas.spmm_kernel import (
+        N_PLAN_ARRAYS, _run_direction)
+    rev_arrays = g_b.spmm_plan_arrays[N_PLAN_ARRAYS:]
+    meta_rev = g_b.spmm_plan_meta[1]
+    node_rev = jax.random.normal(k1, (N, H * D + H), jnp.float32)
+    w_rev = jax.random.normal(k2, (E, H * D + H), jnp.float32)
+
+    def rev_reduce(c, nv, w):
+        o = _run_direction(rev_arrays, meta_rev, nv + c * 0, w, E)
+        return o[0, 0] * 1e-20 + c * 0
+    dt = timed_loop(rev_reduce, (node_rev, w_rev))
+    print(json.dumps({"bwd_component": "rev_plan_reduce_HDpH",
+                      "ms": round(dt * 1e3, 2),
+                      "ns_per_edge": round(dt / E * 1e9, 2)}), flush=True)
+
+    z = jax.random.normal(k1, (N, ZW), jnp.float32)
+
+    def edge_gather(c, q):
+        m = (q + c * 0)[g_b.src]
+        return m[0, 0] * 1e-20 + c * 0
+    dt = timed_loop(edge_gather, (z,))
+    print(json.dumps({"bwd_component": "zsrc_edge_gather",
+                      "ms": round(dt * 1e3, 2),
+                      "ns_per_edge": round(dt / E * 1e9, 2)}), flush=True)
+
+    draw = jax.random.normal(k3, (E, H), jnp.float32)
+
+    def der_seg(c, dr):
+        o = jax.ops.segment_sum(dr + c * 0, g_b.dst, N,
+                                indices_are_sorted=True)
+        return o[0, 0] * 1e-20 + c * 0
+    dt = timed_loop(der_seg, (draw,))
+    print(json.dumps({"bwd_component": "der_segment_sum",
+                      "ms": round(dt * 1e3, 2),
+                      "ns_per_edge": round(dt / E * 1e9, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
