@@ -123,7 +123,11 @@ class RGCN(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, etypes: Array, norm: Optional[Array] = None,
-                 feats: Optional[Array] = None, deterministic: bool = True):
+                 feats: Optional[Array] = None, deterministic: bool = True,
+                 plan=None):
+        """``plan`` (dgl.prepare_rgcn) routes every layer through the
+        two-level (dst,etype)-pair fast path — one narrow gather per
+        edge (ops/rgcn.py; the fork's fused-RGCN analogue)."""
         nb = None if self.num_bases <= 0 else self.num_bases
         if feats is None:
             feats = nn.Embed(self.num_nodes, self.hidden_feats,
@@ -133,11 +137,12 @@ class RGCN(nn.Module):
             h = RelGraphConv(self.hidden_feats, self.num_rels, "basis", nb,
                              activation=nn.relu, self_loop=self.self_loop,
                              dropout=self.dropout, name=f"rgcn{i}")(
-                g, h, etypes, norm, deterministic=deterministic)
+                g, h, etypes, norm, deterministic=deterministic,
+                plan=plan)
         return RelGraphConv(self.out_feats, self.num_rels, "basis", nb,
                             self_loop=self.self_loop,
                             name=f"rgcn{self.num_layers-1}")(
-            g, h, etypes, norm, deterministic=deterministic)
+            g, h, etypes, norm, deterministic=deterministic, plan=plan)
 
 
 class GIN(nn.Module):

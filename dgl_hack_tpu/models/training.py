@@ -38,9 +38,11 @@ def train_node_classifier(model, g: Graph, feats, labels, train_mask,
                           val_mask, test_mask, *, num_epochs: int = 200,
                           lr: float = 1e-2, weight_decay: float = 5e-4,
                           seed: int = 0, model_args: tuple = (),
+                          model_kwargs: dict = None,
                           log_every: int = 0,
                           early_stop_patience: int = 0) -> Dict[str, Any]:
     """Returns dict with params, accuracies and epoch timing."""
+    model_kwargs = model_kwargs or {}
     feats = None if feats is None else jnp.asarray(feats)
     labels = jnp.asarray(labels)
     train_mask = jnp.asarray(train_mask)
@@ -49,7 +51,7 @@ def train_node_classifier(model, g: Graph, feats, labels, train_mask,
 
     key = jax.random.PRNGKey(seed)
     params = model.init({"params": key, "dropout": key}, g, *model_args,
-                        feats)
+                        feats, **model_kwargs)
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(params)
 
@@ -58,7 +60,7 @@ def train_node_classifier(model, g: Graph, feats, labels, train_mask,
         def loss_fn(p):
             logits = model.apply(p, g, *model_args, feats,
                                  deterministic=False,
-                                 rngs={"dropout": key})
+                                 rngs={"dropout": key}, **model_kwargs)
             return masked_cross_entropy(logits, labels, train_mask)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -66,7 +68,8 @@ def train_node_classifier(model, g: Graph, feats, labels, train_mask,
 
     @jax.jit
     def evaluate(params):
-        logits = model.apply(params, g, *model_args, feats)
+        logits = model.apply(params, g, *model_args, feats,
+                             **model_kwargs)
         return (masked_accuracy(logits, labels, train_mask),
                 masked_accuracy(logits, labels, val_mask),
                 masked_accuracy(logits, labels, test_mask))

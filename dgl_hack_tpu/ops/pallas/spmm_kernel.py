@@ -1282,6 +1282,29 @@ def _dense_matmul_t(C: Array, g: Array, mode: str) -> Array:
     return d[:, :F] + d[:, F:]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def dense_count_matmul(mode, C, x):
+    """Differentiable C @ x with the f32x2 split in BOTH directions.
+
+    Plain AD through _dense_matmul would round the x-cotangent to bf16
+    (the hi/lo intermediates are bf16-typed — measured 3e-3 relative
+    grad error on the spatial dense-hub path); this pairs the forward
+    with the explicit _dense_matmul_t transpose, same as the
+    single-chip hybrid's custom VJP."""
+    return _dense_matmul(C, x, mode)
+
+
+def _dcm_fwd(mode, C, x):
+    return _dense_matmul(C, x, mode), C
+
+
+def _dcm_bwd(mode, C, g):
+    return (jnp.zeros_like(C), _dense_matmul_t(C, g, mode))
+
+
+dense_count_matmul.defvjp(_dcm_fwd, _dcm_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _gspmm_hybrid(meta_fwd, meta_rev, mode, x, *arrays):
     rem_fwd = arrays[:N_PLAN_ARRAYS]

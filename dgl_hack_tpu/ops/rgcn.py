@@ -97,7 +97,9 @@ def prepare_rgcn(g, etypes, num_rels: int, prepare: bool = True,
     if prepare and M:
         # plan perms live in PAIR-GRAPH edge space (all real edges);
         # per-edge norms permute through ``edge_perm`` once per call
-        from .pallas.spmm_kernel import PlanInfo, build_gspmm_plan_edges
+        from .pallas.spmm_kernel import (
+            FLAT_MAX_BYTES, MSG_CHUNK_BYTES, PlanInfo,
+            build_gspmm_plan_edges)
         kw = dict(prepare_kwargs)
         tr = kw.pop("tr", 128)
         te = kw.pop("te", 64)
@@ -107,9 +109,15 @@ def prepare_rgcn(g, etypes, num_rels: int, prepare: bool = True,
         if bucket_rows == "auto":
             B = max(8, ((64 << 20) // (max(flat_width, 1) * 4)) // 8 * 8)
             bucket_rows = B if g.num_src_nodes > 2 * B else None
+        # width-aware chunk/budget sizing, same as prepare_spmm (the
+        # default bc=512 would scan hundreds of chunks at 16M edges)
+        bc = max(8, (MSG_CHUNK_BYTES // (te * max(flat_width, 1) * 4))
+                 // 8 * 8)
+        fms = max(te, FLAT_MAX_BYTES // (max(flat_width, 1) * 4))
         plan = build_gspmm_plan_edges(
             src[order], inv.astype(np.int64), g.num_src_nodes, M,
-            tr=tr, te=te, flat=flat, bucket_rows=bucket_rows)
+            tr=tr, te=te, bc=bc, wc=max(1, -(-M // tr)), flat=flat,
+            flat_max_slots=fms, bucket_rows=bucket_rows)
         info = PlanInfo(masked=False, flat_width=flat_width,
                         bucket_rows=plan.fwd.gather_rows or 0)
         pg = pg.replace(

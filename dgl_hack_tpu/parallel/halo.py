@@ -118,6 +118,18 @@ class SpatialPlan:
     spmm_meta_local: Optional[Tuple] = None
     spmm_meta_remote: Optional[Tuple] = None
     spmm_meta_graph: Optional[Tuple] = None
+    # DISTRIBUTED dense-hub (build_spatial_plan dense_threshold=...):
+    # hub DST rows are computed as column-sliced count-matrix matmuls —
+    # each device contributes C[:, own] @ x_own and ONE psum_scatter
+    # (~R*F*4 bytes) delivers every dense row to its owner.  Hub-dst
+    # edges leave the halo entirely; ``reduced`` holds the exchange plan
+    # over the remaining edges.  The multi-chip form of the single-chip
+    # dense-hub HYB plan (KERNELS.md).
+    reduced: Optional["SpatialPlan"] = None
+    dense_C: Optional[np.ndarray] = None       # (P, P*R_max, n_owned_max)
+    dense_rows: Optional[np.ndarray] = None    # (P, R_max) local dst rows
+    dense_mask: Optional[np.ndarray] = None    # (P, R_max) bool
+    dense_R_max: int = 0
 
     def device_arrays(self) -> Dict[str, Array]:
         out = {k: jnp.asarray(getattr(self, k)) for k in _DEVICE_FIELDS}
@@ -127,6 +139,12 @@ class SpatialPlan:
             if arrs is not None:
                 for i, a in enumerate(arrs):
                     out[f"{pref}_{i}"] = jnp.asarray(a)
+        if self.reduced is not None:
+            for k, v in self.reduced.device_arrays().items():
+                out[f"r2_{k}"] = v
+            out["dC"] = jnp.asarray(self.dense_C)
+            out["drows"] = jnp.asarray(self.dense_rows)
+            out["dmask"] = jnp.asarray(self.dense_mask)
         return out
 
     @property
@@ -151,13 +169,26 @@ class SpatialPlan:
             "hub_rows": int(self.hub_mask.sum()),
             "hub_rows_padded": self.num_parts * self.hk_max,
             "build_seconds": self.build_seconds,
-        }
+        } | ({} if self.reduced is None else {
+            # distributed dense-hub: the exchange that actually ships
+            "dense_rows_total": int(self.dense_mask.sum()),
+            "dense_edge_frac": round(
+                1 - int(self.reduced.edge_mask.sum())
+                / max(int(self.edge_mask.sum()), 1), 4),
+            "cut_fraction_reduced":
+                round(int(self.reduced.rmask.sum())
+                      / max(int(self.edge_mask.sum()), 1), 4),
+            "halo_rows_real_reduced": int(self.reduced.send_mask.sum()),
+            "psum_rows": self.num_parts * self.dense_R_max,
+        })
 
 
 def build_spatial_plan(g: Graph, num_parts: int, method: str = "fennel",
                        seed: int = 0,
                        parts: Optional[np.ndarray] = None,
-                       hub_k: int = 0) -> SpatialPlan:
+                       hub_k: int = 0,
+                       dense_threshold: Optional[int] = None,
+                       dense_budget: int = 4 << 30) -> SpatialPlan:
     """Partition g and derive the static exchange + local-graph plan.
 
     Fully vectorised host build: one stable edge sort per layout plus
@@ -341,7 +372,71 @@ def build_spatial_plan(g: Graph, num_parts: int, method: str = "fennel",
                        owned_ids, owned_mask, in_deg_a, out_deg,
                        hub_idx, hub_mask, hk_max,
                        _time.perf_counter() - t0)
+    if dense_threshold is not None:
+        plan = _add_dense_hub(plan, parts, local_of, sl, dl,
+                              dense_threshold, dense_budget, hub_k)
     return plan
+
+
+def _add_dense_hub(plan: SpatialPlan, parts: np.ndarray,
+                   local_of: np.ndarray, sl: np.ndarray, dl: np.ndarray,
+                   thr: int, budget: int, hub_k: int) -> SpatialPlan:
+    """Distributed dense-hub construction: hot DST rows become
+    column-sliced count matrices.  Device p holds C[:, own_p] (f16
+    counts) and contributes ``C_p @ x_p``; one psum_scatter sums the
+    partials and lands each dense row on its owner — hub-dst edges ship
+    ZERO halo rows.  ``reduced`` re-runs the exchange build on the
+    remaining edges (same node->part assignment, so local ids match).
+
+    The single-chip hybrid's C @ x is literally column-decomposable:
+    C @ x = sum_p C[:, own_p] @ x[own_p] — the psum IS the reduction
+    the scatter-free kernel does on one chip."""
+    import dataclasses
+    P_ = plan.num_parts
+    n = len(parts)
+    indeg = np.bincount(dl, minlength=n)
+    cap = max(1, int(budget // (2 * max(plan.n_owned_max, 1))))
+    cand = np.nonzero(indeg >= thr)[0]
+    if cand.size == 0:
+        return plan
+    dense_nodes = cand[np.argsort(indeg[cand])[::-1][:cap]]
+    is_dense = np.zeros(n, bool)
+    is_dense[dense_nodes] = True
+    order = np.argsort(parts[dense_nodes] * np.int64(n) + dense_nodes,
+                       kind="stable")
+    dn = dense_nodes[order]
+    dp = parts[dn]
+    bou = np.searchsorted(dp, np.arange(P_ + 1))
+    cnts = np.diff(bou)
+    R_max = max(1, int(cnts.max()))
+    slot = (np.arange(len(dn), dtype=np.int64)
+            - np.repeat(bou[:-1], cnts))
+    drows = np.zeros((P_, R_max), np.int32)
+    dmask = np.zeros((P_, R_max), bool)
+    drows.reshape(-1)[dp * R_max + slot] = local_of[dn].astype(np.int32)
+    dmask.reshape(-1)[dp * R_max + slot] = True
+    grow = np.full(n, -1, np.int64)        # node -> global padded C row
+    grow[dn] = dp * R_max + slot
+
+    de = is_dense[dl]
+    es = np.nonzero(de)[0]
+    sp_e = parts[sl[es]]
+    now = plan.n_owned_max
+    C = np.zeros((P_, P_ * R_max, now), np.float16)
+    key = ((sp_e * np.int64(P_ * R_max) + grow[dl[es]]) * np.int64(now)
+           + local_of[sl[es]])
+    uk, ucnt = np.unique(key, return_counts=True)
+    # f16 holds ints exactly to 2048; clip beyond (multigraph safety)
+    C.reshape(-1)[uk] = np.minimum(ucnt, 2048).astype(np.float16)
+
+    keep = ~de
+    from ..core.graph import _build
+    g2 = _build(sl[keep].astype(np.int32), dl[keep].astype(np.int32),
+                n, n, is_block=False, build_csr=False)
+    red = build_spatial_plan(g2, P_, parts=parts, hub_k=hub_k)
+    return dataclasses.replace(plan, reduced=red, dense_C=C,
+                               dense_rows=drows, dense_mask=dmask,
+                               dense_R_max=R_max)
 
 
 # ---------------------------------------------------------------------------
@@ -462,27 +557,34 @@ def attach_spmm_plans(plan: SpatialPlan, tr: int = 128, te: int = 64,
     the distributed pull path serves every model with the same kernels as
     single-GPU (reference: python/dgl/contrib/dis_kvstore.py:670)."""
     import dataclasses
+    # with the distributed dense-hub active, the copy_u fast path runs
+    # over the REDUCED exchange — attach the split plans there
+    tgt = plan.reduced if plan.reduced is not None else plan
     kw = {}
     if "local" in which:
         meta, arrs = _build_layout_plans(
-            plan.lsrc, plan.ldst, plan.lmask, plan.n_owned_max,
-            plan.n_owned_max, tr, te, flat_width, bucket_rows)
+            tgt.lsrc, tgt.ldst, tgt.lmask, tgt.n_owned_max,
+            tgt.n_owned_max, tr, te, flat_width, bucket_rows)
         kw["spmm_meta_local"] = meta
         kw["spmm_local"] = arrs
     if "remote" in which:
-        n_halo = plan.halo_max + plan.num_parts * plan.hk_max
+        n_halo = tgt.halo_max + tgt.num_parts * tgt.hk_max
         meta, arrs = _build_layout_plans(
-            plan.rsrc, plan.rdst, plan.rmask, max(n_halo, 1),
-            plan.n_owned_max, tr, te, flat_width, bucket_rows)
+            tgt.rsrc, tgt.rdst, tgt.rmask, max(n_halo, 1),
+            tgt.n_owned_max, tr, te, flat_width, bucket_rows)
         kw["spmm_meta_remote"] = meta
         kw["spmm_remote"] = arrs
+    gkw = {}
     if "graph" in which:
         meta, arrs = _build_layout_plans(
             plan.src_ext, plan.dst_loc, plan.edge_mask, plan.num_src_ext,
             plan.n_owned_max, tr, te, flat_width, bucket_rows)
-        kw["spmm_meta_graph"] = meta
-        kw["spmm_graph"] = arrs
-    return dataclasses.replace(plan, **kw)
+        gkw["spmm_meta_graph"] = meta
+        gkw["spmm_graph"] = arrs
+    if plan.reduced is not None:
+        return dataclasses.replace(
+            plan, reduced=dataclasses.replace(plan.reduced, **kw), **gkw)
+    return dataclasses.replace(plan, **kw, **gkw)
 
 
 # ---------------------------------------------------------------------------
@@ -682,6 +784,44 @@ def make_halo_gspmm(plan: SpatialPlan, mesh: Mesh, axis: str = "node",
                      and plan.spmm_meta_remote is not None
                      and "spl_0" in d and "spr_0" in d
                      and not get_config().disable_pallas)
+        # distributed dense-hub: unweighted sum/mean over the reduced
+        # exchange + column-sliced C matmul + ONE psum_scatter
+        if (plan.reduced is not None and "dC" in d and w_l is None
+                and base == "sum"):
+            rp = plan.reduced
+            halo = halo_exchange(x, d["r2_send_idx"], d["r2_send_mask"],
+                                 axis, d.get("r2_hub_idx"),
+                                 d.get("r2_hub_mask"), comm_dtype)
+            if (rp.spmm_meta_local is not None and "r2_spl_0" in d
+                    and not get_config().disable_pallas):
+                arrs_l = tuple(d[f"r2_spl_{i}"] for i in range(16))
+                arrs_r = tuple(d[f"r2_spr_{i}"] for i in range(16))
+                out_l = _plan_reduce(rp.spmm_meta_local, arrs_l,
+                                     d["r2_lsrc"], d["r2_ldst"],
+                                     d["r2_lmask"], x, None, "sum")
+                out_r = _plan_reduce(rp.spmm_meta_remote, arrs_r,
+                                     d["r2_rsrc"], d["r2_rdst"],
+                                     d["r2_rmask"], halo, None, "sum")
+            else:
+                out_l = seg.segment_reduce(
+                    "sum", x[d["r2_lsrc"]], d["r2_ldst"], n,
+                    indices_are_sorted=True, mask=d["r2_lmask"])
+                out_r = seg.segment_reduce(
+                    "sum", halo[d["r2_rsrc"]], d["r2_rdst"], n,
+                    indices_are_sorted=True, mask=d["r2_rmask"])
+            from ..ops.pallas.spmm_kernel import dense_count_matmul
+            partial = dense_count_matmul(get_config().spmm_mode,
+                                         d["dC"], x)
+            mine = jax.lax.psum_scatter(partial, axis,
+                                        scatter_dimension=0, tiled=True)
+            out = out_l + out_r
+            out = out.at[d["drows"]].add(
+                (mine * d["dmask"][:, None].astype(mine.dtype))
+                .astype(out.dtype))
+            if reduce_op == "mean":
+                deg = jnp.maximum(d["in_deg"], 1).astype(out.dtype)
+                out = out / deg.reshape((n,) + (1,) * (out.ndim - 1))
+            return out[None]
 
         if not overlap:
             halo = halo_exchange(x, d["send_idx"], d["send_mask"], axis,

@@ -20,6 +20,8 @@ def main():
     p.add_argument("--weight-decay", type=float, default=5e-4)
     args = p.parse_args()
 
+    import jax
+    import dgl_hack_tpu as dgl
     from dgl_hack_tpu import data
     from dgl_hack_tpu.models import GAT
     from dgl_hack_tpu.models.training import train_node_classifier
@@ -28,11 +30,17 @@ def main():
           "citeseer": data.CiteseerGraphDataset,
           "pubmed": data.PubmedGraphDataset,
           "synth": data.synthetic_cora}[args.dataset]()
+    g = ds.graph
+    if jax.default_backend() == "tpu":
+        # fused-GAT plans; bucket/flat budgets sized at the z width
+        # (H*D+2H — the KERNELS.md round-3 footgun rule)
+        zw = args.num_hidden * args.num_heads + 2 * args.num_heads
+        g = dgl.prepare_spmm(g, te=256, flat_width=zw, sddmm=False)
     model = GAT(hidden_feats=args.num_hidden, out_feats=ds.num_classes,
                 heads=(args.num_heads, args.num_out_heads),
                 feat_drop=args.in_drop, attn_drop=args.attn_drop)
     res = train_node_classifier(
-        model, ds.graph, ds.features, ds.labels, ds.train_mask, ds.val_mask,
+        model, g, ds.features, ds.labels, ds.train_mask, ds.val_mask,
         ds.test_mask, num_epochs=args.epochs, lr=args.lr,
         weight_decay=args.weight_decay, log_every=20)
     print(json.dumps({"dataset": ds.name, "test_acc": res["test_acc"],

@@ -18,19 +18,28 @@ def main():
     args = p.parse_args()
 
     import jax.numpy as jnp
+    import dgl_hack_tpu as dgl
     from dgl_hack_tpu.data.rdf import load_rdf_dataset
     from dgl_hack_tpu.models import RGCN
     from dgl_hack_tpu.models.training import train_node_classifier
 
+    import jax
     ds = load_rdf_dataset(args.dataset)
+    # two-level (dst,etype)-pair fast path (ops/rgcn.py): tuned default
+    # for every RelGraphConv layer (KERNELS.md round-4 RGCN bench:
+    # fwd+bwd 246 -> 19.3 ns/edge at AIFB shapes).  Off-TPU the Pallas
+    # plans would run in interpret mode — keep the composed path there.
+    plan = dgl.prepare_rgcn(ds.graph, ds.etypes, ds.num_rels, te=64) \
+        if jax.default_backend() == "tpu" else None
     model = RGCN(num_nodes=ds.graph.num_nodes(), hidden_feats=args.hidden,
                  out_feats=ds.num_classes, num_rels=ds.num_rels,
                  num_bases=args.num_bases)
     res = train_node_classifier(
         model, ds.graph, None, ds.labels, ds.train_mask, ds.test_mask,
         ds.test_mask, num_epochs=args.epochs, lr=args.lr,
-        weight_decay=args.l2norm, model_args=(jnp.asarray(ds.etypes),),
-        log_every=10)
+        weight_decay=args.l2norm,
+        model_args=(jnp.asarray(ds.etypes),),
+        model_kwargs={"plan": plan}, log_every=10)
     print(json.dumps({"dataset": ds.name, "test_acc": res["test_acc"]}))
 
 

@@ -498,3 +498,49 @@ def test_masked_prepare_spmm(rng=np.random.default_rng(43)):
     mask_int = mask if gp.int2user is None \
         else mask[np.asarray(gp.int2user)]
     assert np.allclose(np.asarray(gw_p)[~mask_int], 0.0)
+
+
+def test_spatial_dense_hub(mesh, rng=np.random.default_rng(45)):
+    """DISTRIBUTED dense-hub (build_spatial_plan dense_threshold=...):
+    hub dst rows via column-sliced C matmuls + one psum_scatter, the
+    rest over the reduced halo — matches the 1-chip oracle fwd (sum and
+    mean, with and without attached plans) and in gradient."""
+    from dgl_hack_tpu.parallel import attach_spmm_plans
+    n, e = 1500, 15000
+    w = (np.arange(n) + 1.0) ** -0.8
+    w /= w.sum()
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.choice(n, e, p=w).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=n)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    plan = build_spatial_plan(g, 8, method="fennel", seed=0, hub_k=8,
+                              dense_threshold=40)
+    st = plan.stats()
+    assert plan.reduced is not None and st["dense_edge_frac"] > 0.1
+    assert st["cut_fraction_reduced"] < st["cut_fraction"]
+    xs = jnp.asarray(shard_features(plan, x))
+    for planp in (plan, attach_spmm_plans(plan, te=64)):
+        dev = planp.device_arrays()
+        assert "dC" in dev
+        for red in ("sum", "mean"):
+            f = make_halo_gspmm(planp, mesh, reduce_op=red)
+            with mesh:
+                out = jax.jit(f)(xs, dev)
+            got = unshard_rows(planp, np.asarray(out), n)
+            ref = np.asarray(dgl.gspmm(g, "copy_lhs", red,
+                                       jnp.asarray(x)))
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4)
+
+    planp = attach_spmm_plans(plan, te=64)
+    dev = planp.device_arrays()
+    f = make_halo_gspmm(planp, mesh, reduce_op="sum")
+
+    def loss(xs_):
+        with mesh:
+            return (jax.jit(f)(xs_, dev) ** 2).sum()
+
+    gx = unshard_rows(planp, np.asarray(jax.grad(loss)(xs)), n)
+    gref = np.asarray(jax.grad(
+        lambda x_: (dgl.gspmm(g, "copy_lhs", "sum", x_) ** 2).sum())(
+        jnp.asarray(x)))
+    np.testing.assert_allclose(gx, gref, rtol=1e-4, atol=1e-3)

@@ -70,47 +70,73 @@ def bench_case(name, N, E_target, R, B, in_f, out_f, etype_mode,
     x = jax.random.normal(key, (N, in_f), jnp.float32)
     etd = jnp.asarray(et)
     layer = RelGraphConv(out_feats=out_f, num_rels=R, num_bases=B)
-    params = layer.init(jax.random.PRNGKey(0), g, x, etd)
+    # init through the plan path — the composed trace materialises the
+    # (E, B, out) gather and OOMs at 16M edges before any timing runs
+    params = layer.init(jax.random.PRNGKey(0), g, x, etd, plan=plan)
 
     out = {"case": name, "N": N, "E": E, "R": R, "B": B,
            "in": in_f, "out": out_f, "etypes": etype_mode,
            "pairs": int(M), "pair_compression": round(E / max(M, 1), 2)}
 
     for pathname, pl in (("composed", None), ("pair_plan", plan)):
-        def fwd(c, p, q):
-            o = layer.apply(p, g, q + c * 0, etd, plan=pl)
+        # graph AND plan ride as jit ARGUMENTS — closing over them
+        # serializes the plan arrays as constants into the remote
+        # compile request (HTTP 413 at 1M scale, CLAUDE.md)
+        def fwd(c, p, gg, q, et, *pl_a):
+            o = layer.apply(p, gg, q + c * 0, et,
+                            plan=pl_a[0] if pl_a else None)
             return o[0, 0] * 1e-20 + c * 0
-        dt = timed_loop(fwd, (params, x))
-        out[f"fwd_{pathname}_ms"] = round(dt * 1e3, 2)
-        out[f"fwd_{pathname}_ns_per_edge"] = round(dt / E * 1e9, 2)
 
-        def step(c, p, q):
+        def step(c, p, gg, q, et, *pl_a):
             def loss(pp, qq):
-                o = layer.apply(pp, g, qq, etd, plan=pl)
+                o = layer.apply(pp, gg, qq, et,
+                                plan=pl_a[0] if pl_a else None)
                 return (o * o).sum()
             l, (gp, gq) = jax.value_and_grad(loss, argnums=(0, 1))(p, q + c * 0)
             acc = l * 1e-20
             for leaf in jax.tree.leaves(gp):
                 acc = acc + leaf.reshape(-1)[0] * 1e-20
             return acc + gq[0, 0] * 1e-20 + c * 0
-        dt = timed_loop(step, (params, x))
-        out[f"fwdbwd_{pathname}_ms"] = round(dt * 1e3, 2)
-        out[f"fwdbwd_{pathname}_ns_per_edge"] = round(dt / E * 1e9, 2)
+
+        extra = (pl,) if pl is not None else ()
+        for tag, fn in (("fwd", fwd), ("fwdbwd", step)):
+            try:
+                dt = timed_loop(fn, (params, g, x, etd) + extra)
+                out[f"{tag}_{pathname}_ms"] = round(dt * 1e3, 2)
+                out[f"{tag}_{pathname}_ns_per_edge"] = round(
+                    dt / E * 1e9, 2)
+            except Exception as ex:                      # noqa: BLE001
+                # the composed basis path materialises the (E, B, out)
+                # gather with (8,128)-tile padding — 8x at out=16 — and
+                # OOMs at E-millions scale; record it, keep going
+                out[f"{tag}_{pathname}_ms"] = "OOM"                     if "exceed memory" in str(ex) else "ERROR"
+                if out[f"{tag}_{pathname}_ms"] == "ERROR":
+                    out[f"{tag}_{pathname}_err"] = str(ex)[:400]
     print(json.dumps(out), flush=True)
     del g, plan, x, params
     gc.collect()
 
 
 def main():
-    # AIFB-like: 8k entities, 66k triples, 90 relations, full-rank bases
-    bench_case("aifb_like", 8285, 66371, 90, None, 16, 16, "skewed")
-    # AM-like scale with basis compression
-    bench_case("am_like", 300_000, 2_400_000, 90, 20, 16, 16, "skewed")
-    # 1M-node synthetic, both etype regimes
-    bench_case("synth1m_skewed", 1_000_000, 16_000_000, 45, 8, 64, 64,
-               "skewed")
-    bench_case("synth1m_random", 1_000_000, 16_000_000, 45, 8, 64, 64,
-               "random")
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+    cases = {
+        # AIFB-like: 8k entities, 66k triples, 90 rels, full-rank bases
+        "aifb_like": (8285, 66371, 90, None, 16, 16, "skewed"),
+        # AM-like scale with basis compression
+        "am_like": (300_000, 2_400_000, 90, 20, 16, 16, "skewed"),
+        # 1M-node synthetic, both etype regimes
+        "synth1m_skewed": (1_000_000, 16_000_000, 45, 8, 64, 64,
+                           "skewed"),
+        "synth1m_random": (1_000_000, 16_000_000, 45, 8, 64, 64,
+                           "random"),
+    }
+    for name, cfg in cases.items():
+        if args.only and name not in args.only:
+            continue
+        bench_case(name, *cfg)
 
 
 if __name__ == "__main__":

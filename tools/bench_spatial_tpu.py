@@ -99,42 +99,47 @@ def main():
                           "ns_per_edge": round(dt / denom * 1e9, 3)}),
               flush=True)
 
-    def local_plan(c, q):
-        o = gspmm_pallas(plan.spmm_meta_local, arrs_l, d["lsrc"],
-                         d["ldst"], q + c * 0, None, "sum", None)
+    # plan arrays + index arrays ride as jit ARGUMENTS (closing over
+    # them serializes into the remote compile request — HTTP 413)
+    def local_plan(c, q, dd, *arrs):
+        o = gspmm_pallas(plan.spmm_meta_local, arrs, dd["lsrc"],
+                         dd["ldst"], q + c * 0, None, "sum", None)
         return o[0, 0] * 1e-20 + c * 0
 
-    def remote_plan(c, q):
-        o = gspmm_pallas(plan.spmm_meta_remote, arrs_r, d["rsrc"],
-                         d["rdst"], q + c * 0, None, "sum", None)
+    def remote_plan(c, q, dd, *arrs):
+        o = gspmm_pallas(plan.spmm_meta_remote, arrs, dd["rsrc"],
+                         dd["rdst"], q + c * 0, None, "sum", None)
         return o[0, 0] * 1e-20 + c * 0
 
-    def local_seg(c, q):
-        o = seg.segment_reduce("sum", (q + c * 0)[d["lsrc"]], d["ldst"],
+    def local_seg(c, q, dd):
+        o = seg.segment_reduce("sum", (q + c * 0)[dd["lsrc"]], dd["ldst"],
                                plan.n_owned_max, indices_are_sorted=True,
-                               mask=d["lmask"])
+                               mask=dd["lmask"])
         return o[0, 0] * 1e-20 + c * 0
 
-    def remote_seg(c, q):
-        o = seg.segment_reduce("sum", (q + c * 0)[d["rsrc"]], d["rdst"],
+    def remote_seg(c, q, dd):
+        o = seg.segment_reduce("sum", (q + c * 0)[dd["rsrc"]], dd["rdst"],
                                plan.n_owned_max, indices_are_sorted=True,
-                               mask=d["rmask"])
+                               mask=dd["rmask"])
         return o[0, 0] * 1e-20 + c * 0
 
-    run("part0_local_plan", local_plan, (x,), el_real)
-    run("part0_local_composed", local_seg, (x,), el_real)
-    run("part0_remote_plan", remote_plan, (halo,), er_real)
-    run("part0_remote_composed", remote_seg, (halo,), er_real)
+    run("part0_local_plan", local_plan, (x, d) + arrs_l, el_real)
+    run("part0_local_composed", local_seg, (x, d), el_real)
+    run("part0_remote_plan", remote_plan, (halo, d) + arrs_r, er_real)
+    run("part0_remote_composed", remote_seg, (halo, d), er_real)
 
     # whole-part step (both halves, plan path) — the number the ICI
     # projection model uses as the per-device compute term
-    def part_step(c, q, h):
-        a = gspmm_pallas(plan.spmm_meta_local, arrs_l, d["lsrc"],
-                         d["ldst"], q + c * 0, None, "sum", None)
-        b = gspmm_pallas(plan.spmm_meta_remote, arrs_r, d["rsrc"],
-                         d["rdst"], h, None, "sum", None)
+    nl = len(arrs_l)
+
+    def part_step(c, q, h, dd, *arrs):
+        a = gspmm_pallas(plan.spmm_meta_local, arrs[:nl], dd["lsrc"],
+                         dd["ldst"], q + c * 0, None, "sum", None)
+        b = gspmm_pallas(plan.spmm_meta_remote, arrs[nl:], dd["rsrc"],
+                         dd["rdst"], h, None, "sum", None)
         return (a + b)[0, 0] * 1e-20 + c * 0
-    run("part0_step_plan", part_step, (x, halo), el_real + er_real)
+    run("part0_step_plan", part_step, (x, halo, d) + arrs_l + arrs_r,
+        el_real + er_real)
 
     print(json.dumps({
         "speedup_local": round(results["part0_local_composed"]
