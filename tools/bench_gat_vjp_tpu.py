@@ -124,31 +124,31 @@ def main():
     node_rev = jax.random.normal(k1, (N, H * D + H), jnp.float32)
     w_rev = jax.random.normal(k2, (E, H * D + H), jnp.float32)
 
-    def rev_reduce(c, nv, w):
-        o = _run_direction(rev_arrays, meta_rev, nv + c * 0, w, E)
+    def rev_reduce(c, nv, w, *arrs):
+        o = _run_direction(arrs, meta_rev, nv + c * 0, w, E)
         return o[0, 0] * 1e-20 + c * 0
-    dt = timed_loop(rev_reduce, (node_rev, w_rev))
+    dt = timed_loop(rev_reduce, (node_rev, w_rev) + tuple(rev_arrays))
     print(json.dumps({"bwd_component": "rev_plan_reduce_HDpH",
                       "ms": round(dt * 1e3, 2),
                       "ns_per_edge": round(dt / E * 1e9, 2)}), flush=True)
 
     z = jax.random.normal(k1, (N, ZW), jnp.float32)
 
-    def edge_gather(c, q):
-        m = (q + c * 0)[g_b.src]
+    def edge_gather(c, q, srcv):
+        m = (q + c * 0)[srcv]
         return m[0, 0] * 1e-20 + c * 0
-    dt = timed_loop(edge_gather, (z,))
+    dt = timed_loop(edge_gather, (z, g_b.src))
     print(json.dumps({"bwd_component": "zsrc_edge_gather",
                       "ms": round(dt * 1e3, 2),
                       "ns_per_edge": round(dt / E * 1e9, 2)}), flush=True)
 
     draw = jax.random.normal(k3, (E, H), jnp.float32)
 
-    def der_seg(c, dr):
-        o = jax.ops.segment_sum(dr + c * 0, g_b.dst, N,
+    def der_seg(c, dr, dstv):
+        o = jax.ops.segment_sum(dr + c * 0, dstv, N,
                                 indices_are_sorted=True)
         return o[0, 0] * 1e-20 + c * 0
-    dt = timed_loop(der_seg, (draw,))
+    dt = timed_loop(der_seg, (draw, g_b.dst))
     print(json.dumps({"bwd_component": "der_segment_sum",
                       "ms": round(dt * 1e3, 2),
                       "ns_per_edge": round(dt / E * 1e9, 2)}), flush=True)
