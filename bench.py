@@ -99,6 +99,9 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / sol_edges_per_s, 4),
         "vs_hbm_roofline": round(edges_per_s / hbm_edges_per_s, 4),
+        "carry": "full (N,F) feature matrix per iteration (layer-stack "
+                 "convention); scalar-carry sweep harnesses read ~5% "
+                 "higher (one fewer output pass)",
     }))
 
 

@@ -122,12 +122,14 @@ def main():
     rev_arrays = g_b.spmm_plan_arrays[N_PLAN_ARRAYS:]
     meta_rev = g_b.spmm_plan_meta[1]
     node_rev = jax.random.normal(k1, (N, H * D + H), jnp.float32)
-    w_rev = jax.random.normal(k2, (E, H * D + H), jnp.float32)
 
-    def rev_reduce(c, nv, w, *arrs):
-        o = _run_direction(arrs, meta_rev, nv + c * 0, w, E)
+    # unweighted 520-wide rev reduce (the full-width weighted variant
+    # OOMs: (E,520) w + the pre-multiplied message buffer > 16 GB; the
+    # real bwd pays that traffic via w_rev — this measures the FLOOR)
+    def rev_reduce(c, nv, *arrs):
+        o = _run_direction(arrs, meta_rev, nv + c * 0, None, E)
         return o[0, 0] * 1e-20 + c * 0
-    dt = timed_loop(rev_reduce, (node_rev, w_rev) + tuple(rev_arrays))
+    dt = timed_loop(rev_reduce, (node_rev,) + tuple(rev_arrays))
     print(json.dumps({"bwd_component": "rev_plan_reduce_HDpH",
                       "ms": round(dt * 1e3, 2),
                       "ns_per_edge": round(dt / E * 1e9, 2)}), flush=True)

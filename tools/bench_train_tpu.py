@@ -15,9 +15,12 @@ Run alone (one TPU process at a time):
 """
 import functools
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 import optax
