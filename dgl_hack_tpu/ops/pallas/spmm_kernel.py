@@ -1066,11 +1066,18 @@ def build_gspmm_plan(csc_indptr, dst_sorted, src_of_edges, csr_indptr,
                      bc: int = DEFAULT_BC, wc: int = DEFAULT_WC,
                      flat="auto",
                      flat_max_slots: int = FLAT_MAX_SLOTS,
-                     bucket_rows: Optional[int] = None) -> GspmmPlan:
+                     bucket_rows: Optional[int] = None,
+                     bucket_rows_rev="same") -> GspmmPlan:
     """Build both direction plans from the Graph's CSC/CSR arrays.
 
     Forward gathers x by src; reverse gathers dout by dst.  Both perms
     are composed down to internal edge ids so weights index one array.
+
+    ``bucket_rows_rev`` decouples the reverse direction's bucketing:
+    src-bucketing is a FORWARD-only win for wide-operand plans (fused
+    GAT: the 520-lane rev reduce pays K accumulator round-trips per
+    bucket chunk — measured bwd 148 -> 304 ns/edge, KERNELS.md round
+    4).  "same" (default) mirrors ``bucket_rows``; None disables.
     """
     fwd = build_segment_plan(csc_indptr, dst_sorted, src_of_edges,
                              num_dst, tr, te, bc, wc,
@@ -1080,11 +1087,12 @@ def build_gspmm_plan(csc_indptr, dst_sorted, src_of_edges, csr_indptr,
     eids = np.asarray(src_sorted_eids)
     src_sorted = np.asarray(src_of_edges)[eids]
     dst_in_src_order = np.asarray(dst_of_edges)[eids]
+    br_rev = bucket_rows if bucket_rows_rev == "same" else bucket_rows_rev
     rev = build_segment_plan(csr_indptr, src_sorted, dst_in_src_order,
                              num_src, tr, te, bc, wc,
                              gather_n=num_dst, flat=flat,
                              flat_max_slots=flat_max_slots,
-                             bucket_rows=bucket_rows)
+                             bucket_rows=br_rev)
     # compose rev perm: positions index src-sorted order -> internal ids
     E = src_sorted.shape[0]
     comp = np.where(rev.perm < E, eids[np.minimum(rev.perm, E - 1)], E)
@@ -1449,7 +1457,7 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
                  dense_threshold: Optional[int] = None,
                  dense_budget: int = 3 << 30, flat="auto",
                  flat_width: int = 128, sddmm: bool = True,
-                 bucket_rows="auto"):
+                 bucket_rows="auto", bucket_rows_rev="same"):
     """Attach Pallas gspmm plans to a Graph (returns a new Graph sharing
     all other arrays).  Requires the CSR format (build_csr=True).
     One-time host-side cost per graph, analogous to the reference's lazy
@@ -1505,7 +1513,7 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             g.host("csr_indptr"), g.host("csr_eids"),
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
             tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms,
-            bucket_rows=bucket_rows)
+            bucket_rows=bucket_rows, bucket_rows_rev=bucket_rows_rev)
         arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta + (info,))
@@ -1535,7 +1543,7 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             g.host("csr_indptr"), g.host("csr_eids"),
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
             tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms,
-            bucket_rows=bucket_rows)
+            bucket_rows=bucket_rows, bucket_rows_rev=bucket_rows_rev)
         arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta + (info,))

@@ -34,12 +34,14 @@ def main():
     if jax.default_backend() == "tpu":
         # fused-GAT plans; bucket/flat budgets sized at the z width
         # (H*D+2H — the KERNELS.md round-3 footgun rule).  TRAINING
-        # config: chunked UNbucketed — src-bucketed rev plans lose 2x in
-        # the coupled VJP (KERNELS.md round-4 bench_gat_vjp); bucket +
-        # pack only for inference-heavy serving.
+        # config: MIXED direction bucketing — fwd bucketed (the 17.6
+        # ns/edge forward), rev chunked (src-bucketed rev plans lose 2x
+        # in the coupled VJP) — measured fwd+bwd 386 (composed) -> 167
+        # ns/edge (KERNELS.md round-4 bench_gat_vjp).
         zw = args.num_hidden * args.num_heads + 2 * args.num_heads
         g = dgl.prepare_spmm(g, te=256, flat_width=zw, sddmm=False,
-                             bucket_rows=None)
+                             flat=False, bucket_rows="auto",
+                             bucket_rows_rev=None)
     model = GAT(hidden_feats=args.num_hidden, out_feats=ds.num_classes,
                 heads=(args.num_heads, args.num_out_heads),
                 feat_drop=args.in_drop, attn_drop=args.attn_drop)

@@ -374,3 +374,34 @@ def test_bucketed_bf16_packed(rng, layout):
     out = dgl.gspmm(gp, "copy_lhs", "sum", x)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref), rtol=1e-2, atol=3e-2)
+
+
+@pytest.mark.slow
+def test_mixed_direction_buckets(rng=np.random.default_rng(47)):
+    """bucket_rows_rev=None decouples the directions: fwd plan bucketed,
+    rev plan chunked — the measured-best config for wide-operand
+    training (fused GAT: src-bucketed rev plans lose 2x in backward,
+    KERNELS.md round 4).  dx runs over the CHUNKED rev plan while the
+    forward runs bucketed; both must match the composed oracle."""
+    n, e = 256, 2500
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    g = dgl.graph((src, dst), num_nodes=n)
+    gp = dgl.prepare_spmm(g, te=256, dense_hub=False, flat=False,
+                          bucket_rows=128, bucket_rows_rev=None)
+    assert gp.spmm_plan_meta[0][6] == 128    # fwd bucketed
+    assert gp.spmm_plan_meta[1][6] == 0      # rev chunked
+    x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dgl.gspmm(gp, "copy_lhs", "sum", x)),
+        np.asarray(dgl.gspmm(g, "copy_lhs", "sum", x)),
+        rtol=1e-4, atol=1e-4)
+
+    # dx runs over the CHUNKED rev plan (the decoupled direction)
+    def f(graph, x_):
+        return (dgl.gspmm(graph, "copy_lhs", "sum", x_) ** 2).sum()
+
+    gx_p = jax.grad(f, argnums=1)(gp, x)
+    gx_c = jax.grad(f, argnums=1)(g, x)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_c),
+                               rtol=1e-3, atol=1e-3)

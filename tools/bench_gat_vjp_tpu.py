@@ -116,6 +116,16 @@ def main():
     run("fused_bucketed", g_b, False)
     run("fused_bucketed_packed", g_b, True)
 
+    # mixed: fwd bucketed, rev chunked (bucket_rows_rev=None) — the
+    # projected-best TRAIN config
+    g_m = dgl.prepare_spmm(g0, te=256, flat=False, dense_hub=False,
+                           sddmm=False, flat_width=ZW,
+                           bucket_rows="auto", bucket_rows_rev=None)
+    run("fused_mixed", g_m, False)
+    run("fused_mixed_packed", g_m, True)
+    del g_m
+    gc.collect()
+
     # ---- bwd components (bucketed config)
     from dgl_hack_tpu.ops.pallas.spmm_kernel import (
         N_PLAN_ARRAYS, _run_direction)
