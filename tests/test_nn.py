@@ -258,3 +258,24 @@ def test_relgraphconv_pair_plan(rng=np.random.default_rng(44)):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-3)
+
+
+def test_relgraphconv_pair_plan_masked(rng=np.random.default_rng(48)):
+    """prepare_rgcn on an edge_mask graph builds the pair relabeling over
+    REAL edges only; fast path == composed masked path."""
+    import dgl_hack_tpu as dgl
+    from dgl_hack_tpu.nn import RelGraphConv
+    n, e, r = 150, 1200, 5
+    mask = rng.random(e) < 0.75
+    g = dgl.graph((rng.integers(0, n, e), rng.integers(0, n, e)),
+                  num_nodes=n, edge_mask=mask)
+    et = rng.integers(0, r, e).astype(np.int32)
+    x = jnp.asarray(rng.normal(size=(n, 10)).astype(np.float32))
+    plan = dgl.prepare_rgcn(g, et, r, te=64)
+    assert plan.num_pairs <= int(mask.sum())
+    layer = RelGraphConv(out_feats=6, num_rels=r, num_bases=3)
+    params = layer.init(jax.random.PRNGKey(0), g, x, jnp.asarray(et))
+    slow = layer.apply(params, g, x, jnp.asarray(et))
+    fast = layer.apply(params, g, x, jnp.asarray(et), plan=plan)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=1e-3, atol=1e-4)

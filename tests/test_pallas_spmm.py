@@ -405,3 +405,46 @@ def test_mixed_direction_buckets(rng=np.random.default_rng(47)):
     gx_c = jax.grad(f, argnums=1)(g, x)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_c),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_bucket_width_warning(rng=np.random.default_rng(49)):
+    """Running WIDER than the flat_width src-bucketed plans were sized
+    at must warn (the round-3 GAT bucket-size footgun, VERDICT r3 #7a)."""
+    import warnings
+    n, e = 500, 6000
+    g = dgl.graph((rng.integers(0, n, e), rng.integers(0, n, e)),
+                  num_nodes=n)
+    gp = dgl.prepare_spmm(g, te=64, dense_hub=False, flat=False,
+                          bucket_rows=96, flat_width=16)
+    assert gp.spmm_plan_meta[0][6] == 96
+    from dgl_hack_tpu.ops.spmm import _width_warned
+    _width_warned.clear()
+    x_wide = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dgl.gspmm(gp, "copy_lhs", "sum", x_wide)
+        assert any("flat_width" in str(x.message) for x in w), \
+            [str(x.message) for x in w]
+    # at or under the prepared width: silent
+    x_ok = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dgl.gspmm(gp, "copy_lhs", "sum", x_ok)
+        assert not any("flat_width" in str(x.message) for x in w)
+
+
+def test_dispatch_debug_line(capsys, monkeypatch,
+                             rng=np.random.default_rng(50)):
+    """DGL_TPU_DEBUG_DISPATCH=1 prints which path ran (VERDICT r3 #7b:
+    silent fallbacks must be observable)."""
+    monkeypatch.setenv("DGL_TPU_DEBUG_DISPATCH", "1")
+    n, e = 200, 1500
+    g = dgl.graph((rng.integers(0, n, e), rng.integers(0, n, e)),
+                  num_nodes=n)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    dgl.gspmm(g, "copy_lhs", "sum", x)              # composed
+    gp = dgl.prepare_spmm(g, te=256, bc=8, wc=2)
+    dgl.gspmm(gp, "copy_lhs", "sum", x)             # plan path
+    out = capsys.readouterr().out
+    assert "[dgl-tpu dispatch] gspmm: composed" in out
+    assert "[dgl-tpu dispatch] gspmm:" in out

@@ -142,6 +142,23 @@ def main():
         (C0, x, halo, d) + arrs_l + arrs_r,
         el_real + er_real + dense_edges_p0)
 
+    # segment-path variant for the tiny reduced splits (the non-dense
+    # bench measured composed BEATING plans on the local half — small
+    # fragmented splits favour XLA's fused gather+scatter)
+    from dgl_hack_tpu.ops import segment as seg
+
+    def full_step_seg(c, Cd, q, h, dd):
+        a = seg.segment_reduce("sum", (q + c * 0)[dd["lsrc"]],
+                               dd["ldst"], rp.n_owned_max,
+                               indices_are_sorted=True, mask=dd["lmask"])
+        b = seg.segment_reduce("sum", h[dd["rsrc"]], dd["rdst"],
+                               rp.n_owned_max, indices_are_sorted=True,
+                               mask=dd["rmask"])
+        p_ = dense_count_matmul("f32x2", Cd, q + c * 0)
+        return (a + b)[0, 0] * 1e-20 + p_[0, 0] * 1e-20 + c * 0
+    run("part0_dense_step_segment", full_step_seg, (C0, x, halo, d),
+        el_real + er_real + dense_edges_p0)
+
     print(json.dumps({
         "per_device_step_ms": round(results["part0_dense_step"] * 1e3, 3),
         "implied_all_device_edges_per_s": round(

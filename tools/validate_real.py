@@ -18,6 +18,13 @@ tests/test_real_parsers.py over tests/fixtures/data):
       am/am.npz
       FB15k/{entities.dict,relations.dict,train.txt,valid.txt,test.txt}
 
+The example CLIs these configs drive carry the round-4 tuned kernel
+defaults on TPU automatically: train_gat.py prepares mixed-direction
+fused-GAT plans (fwd bucketed / rev chunked), train_rgcn.py attaches
+the two-level (dst,etype)-pair plan, train_gcn.py prepares the hybrid
+dense-hub gspmm plan — so a parity run exercises exactly the shipped
+fast paths (KERNELS.md round 4).
+
 Usage:
     python tools/validate_real.py            # run whatever data is present
     python tools/validate_real.py --only gcn_cora gat_cora
