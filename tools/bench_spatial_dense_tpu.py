@@ -159,6 +159,25 @@ def main():
     run("part0_dense_step_segment", full_step_seg, (C0, x, halo, d),
         el_real + er_real + dense_edges_p0)
 
+    # fwd+bwd (training) through the dense path: the C^T transpose
+    # matmul (dense_count_matmul custom VJP) + the reverse plan reduces
+    def train_step(c, Cd, q, h, dd, *arrs):
+        def loss(q_, h_):
+            a = gspmm_pallas(rp.spmm_meta_local, arrs[:nl], dd["lsrc"],
+                             dd["ldst"], q_, None, "sum", None)
+            b = gspmm_pallas(rp.spmm_meta_remote, arrs[nl:], dd["rsrc"],
+                             dd["rdst"], h_, None, "sum", None)
+            p_ = dense_count_matmul("f32x2", Cd, q_)
+            out = a + b
+            out = out.at[:p_.shape[0] // P].add(p_[:p_.shape[0] // P])
+            return (out * out).sum()
+        v, (gq, gh) = jax.value_and_grad(loss, argnums=(0, 1))(
+            q + c * 0, h)
+        return v * 1e-20 + gq[0, 0] * 1e-20 + gh[0, 0] * 1e-20 + c * 0
+    run("part0_dense_step_fwdbwd", train_step,
+        (C0, x, halo, d) + arrs_l + arrs_r,
+        el_real + er_real + dense_edges_p0)
+
     print(json.dumps({
         "per_device_step_ms": round(results["part0_dense_step"] * 1e3, 3),
         "implied_all_device_edges_per_s": round(

@@ -55,7 +55,10 @@ def _mesh(p):
 # ring; v5p: 90 GB/s/link x 3 axes (values from public TPU system data;
 # the projection treats them as per-device all-to-all throughput, the
 # optimistic-but-standard ring assumption).
-NS_PER_EDGE_COPY_U = 1.41        # 710 M edges/s headline (bench.py r3)
+NS_PER_EDGE_COPY_U = 1.12       # 893.9 M edges/s headline (bench.py r4)
+# measured spatial dense-hub per-device rate (bench_spatial_dense_tpu,
+# P=8 part-0 step: 2.44 ms / 2.08M edges) — use for dense-plan rows
+NS_PER_EDGE_SPATIAL_DENSE = 1.17
 ICI_GBPS = {"v5e": 90.0, "v5p": 270.0}
 
 
