@@ -506,10 +506,23 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
     # one reverse-plan pass: [d(Wh) || d(el)] = reduce_u [dout || 1] * [aw || draw]
     node_rev = jnp.concatenate(
         [dout, jnp.ones((N_dst, H), jnp.float32)], axis=1)
-    w_rev = jnp.concatenate(
-        [jnp.repeat(aw, D, axis=1, total_repeat_length=HD), draw], axis=1)
-    out_rev = _run_direction(plan_arrays[N_PLAN_ARRAYS:], meta_rev,
-                             node_rev, w_rev, E, mode)        # (N_src, HD+H)
+    import os as _os
+    if _os.environ.get("DGL_TPU_GAT_BWD_WIDE") == "1":
+        # legacy wide path (A/B): materialise (E, HD+H) w_rev and let
+        # the kernel gather it at full width
+        w_rev = jnp.concatenate(
+            [jnp.repeat(aw, D, axis=1, total_repeat_length=HD), draw],
+            axis=1)
+        out_rev = _run_direction(plan_arrays[N_PLAN_ARRAYS:], meta_rev,
+                                 node_rev, w_rev, E, mode)
+    else:
+        # compact (E, 2H) weights, expanded across D lanes IN VMEM
+        # (w_kind='head') — skips the 3.3 GB w_rev materialisation and
+        # the 520-lane slot gather (KERNELS.md round 4)
+        w_compact = jnp.concatenate([aw, draw], axis=1)       # (E, 2H)
+        out_rev = _run_direction(plan_arrays[N_PLAN_ARRAYS:], meta_rev,
+                                 node_rev, w_compact, E, mode,
+                                 w_head=(H, D))
     dz = out_rev.astype(z.dtype)
 
     zeros = tuple(np.zeros(a_.shape, jax.dtypes.float0) for a_ in plan_arrays)

@@ -420,11 +420,21 @@ def build_segment_plan(indptr: np.ndarray, row_sorted: np.ndarray,
 # kernels
 # ---------------------------------------------------------------------------
 def _block_contrib(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
-                   mode: str, w_kind: str, w_row=None):
+                   mode: str, w_kind: str, w_row=None,
+                   head_dims=None):
     """Shared block math: one-hot MXU reduce of this block's messages.
     Returns (contrib (TR, FT) f32, is_first-block-of-window pred).
     w_row overrides the scalar-weight row index within its (8, TE)
-    fetch (flat-bucketed plans: w shares m's bucket-major layout)."""
+    fetch (flat-bucketed plans: w shares m's bucket-major layout).
+
+    w_kind='head' (head_dims=(H, D)): w block is the COMPACT (TE, 2H)
+    per-edge weights [aw (H) || extra (H)]; each head's aw column
+    multiplies its D feature lanes, the extra columns multiply the
+    trailing H lanes — expanded in VMEM by an exact one-hot matmul
+    (one nonzero per output column, Precision.HIGHEST).  The fused-GAT
+    backward uses this to avoid materialising + gathering an
+    (E, HD+H)-wide w_rev (~3.3 GB + a 520-lane slot gather at E=1.6M,
+    KERNELS.md round 4)."""
     b = pl.program_id(1)
     # lr block is (8, TE) — 8 consecutive blocks' rows share one fetch
     # (2-D int32 tiling allows TE < 1024, unlike 1-D's forced 1024 tile)
@@ -446,6 +456,19 @@ def _block_contrib(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
         m = m * jnp.broadcast_to(w1[:, None], m.shape)
     elif w_kind == "full":
         m = m * w_ref[:]
+    elif w_kind == "head":
+        H, D = head_dims
+        HD = H * D
+        ft = m.shape[1]
+        f0 = pl.program_id(0) * ft                       # abs lane offset
+        w2 = w_ref[:].astype(jnp.float32)                # (TE, 2H)
+        lane = f0 + jax.lax.broadcasted_iota(jnp.int32, (2 * H, ft), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (2 * H, ft), 0)
+        owner = jnp.where(lane < HD, lane // D, H + (lane - HD))
+        R = (row == owner).astype(jnp.float32)           # one 1 per col
+        w_exp = jnp.dot(w2, R, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        m = m * w_exp
 
     if mode == "f32x2":
         # f32 ~= hi + lo with both terms exactly representable in bf16:
@@ -472,7 +495,7 @@ def _block_contrib(window_ref, lr_ref, m_ref, w_ref, *, tr: int, te: int,
 
 def _reduce_kernel(window_ref, *rest, tr: int, te: int,
                    mode: str, w_kind: str = "none",
-                   has_ordm: bool = False):
+                   has_ordm: bool = False, head_dims=None):
     if has_ordm:
         ordm_ref, lr_ref, m_ref, *rest = rest
         w_row = jax.lax.rem(ordm_ref[pl.program_id(1)], 8)
@@ -486,7 +509,8 @@ def _reduce_kernel(window_ref, *rest, tr: int, te: int,
         w_ref, out_ref = rest
     contrib, is_first = _block_contrib(window_ref, lr_ref, m_ref, w_ref,
                                        tr=tr, te=te, mode=mode,
-                                       w_kind=w_kind, w_row=w_row)
+                                       w_kind=w_kind, w_row=w_row,
+                                       head_dims=head_dims)
 
     @pl.when(is_first)
     def _():
@@ -498,7 +522,7 @@ def _reduce_kernel(window_ref, *rest, tr: int, te: int,
 
 
 def _reduce_kernel_acc(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
-                       mode: str, w_kind: str = "none"):
+                       mode: str, w_kind: str = "none", head_dims=None):
     """Accumulating variant: the running accumulator rides in as an
     ALIASED input block with the same index_map as the output, so chunked
     plans add in place — no XLA-side dynamic-slice/update overlap-add
@@ -512,7 +536,7 @@ def _reduce_kernel_acc(window_ref, lr_ref, m_ref, *rest, tr: int, te: int,
         w_ref, acc_ref, out_ref = rest
     contrib, is_first = _block_contrib(window_ref, lr_ref, m_ref, w_ref,
                                        tr=tr, te=te, mode=mode,
-                                       w_kind=w_kind)
+                                       w_kind=w_kind, head_dims=head_dims)
 
     @pl.when(is_first)
     def _():
@@ -685,7 +709,8 @@ def _reduce_call(m: Array, local_row: Array, window: Array,
                  tr: int, te: int, num_windows: int, num_blocks: int,
                  mode: str = "f32x2", out_width: Optional[int] = None,
                  combine: str = "add",
-                 ordm: Optional[Array] = None) -> Array:
+                 ordm: Optional[Array] = None,
+                 head_dims=None) -> Array:
     """ordm (flat-bucketed plans): window-major grid position b reads m
     (and scalar w, which shares m's slot layout) at bucket-major block
     ordm[b] — a second scalar-prefetch operand driving the index_maps."""
@@ -716,6 +741,13 @@ def _reduce_call(m: Array, local_row: Array, window: Array,
             if ordm is None else
             pl.BlockSpec((te, ft), lambda f, b, win, om: (om[b], f)))
         operands.append(w)
+    elif w_kind == "head":
+        ww = w.shape[1]
+        in_specs.append(
+            pl.BlockSpec((te, ww), lambda f, b, win: (b, 0))
+            if ordm is None else
+            pl.BlockSpec((te, ww), lambda f, b, win, om: (om[b], 0)))
+        operands.append(w)
     if ordm is None:
         out_spec = pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f))
         prefetch = (window,)
@@ -736,7 +768,8 @@ def _reduce_call(m: Array, local_row: Array, window: Array,
     else:
         kernel = functools.partial(_reduce_kernel, tr=tr, te=te, mode=mode,
                                    w_kind=w_kind,
-                                   has_ordm=ordm is not None)
+                                   has_ordm=ordm is not None,
+                                   head_dims=head_dims)
     return pl.pallas_call(
         kernel,
         grid_spec=grid,
@@ -752,7 +785,7 @@ def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
                      w_kind: str = "none", *, tr: int, te: int,
                      num_blocks: int, mode: str = "f32x2",
                      out_width: Optional[int] = None,
-                     combine: str = "add") -> Array:
+                     combine: str = "add", head_dims=None) -> Array:
     """One chunk's blocks accumulated IN PLACE into the full-size
     ``acc`` (absolute window ids): the accumulator is an aliased input
     whose blocks ride the same index_map as the output, so only the
@@ -774,6 +807,11 @@ def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
     elif w_kind == "full":
         in_specs.append(pl.BlockSpec((te, ft), lambda f, b, win: (b, f)))
         operands.append(w)
+    elif w_kind == "head":
+        ww = w.shape[1]
+        in_specs.append(pl.BlockSpec((te, ww),
+                                     lambda f, b, win: (b, 0)))
+        operands.append(w)
     in_specs.append(pl.BlockSpec((tr, ft), lambda f, b, win: (win[b], f)))
     operands.append(acc)
     grid = pltpu.PrefetchScalarGridSpec(
@@ -787,7 +825,8 @@ def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
                                    w_kind=w_kind)
     else:
         kernel = functools.partial(_reduce_kernel_acc, tr=tr, te=te,
-                                   mode=mode, w_kind=w_kind)
+                                   mode=mode, w_kind=w_kind,
+                                   head_dims=head_dims)
     # alias indices count the scalar-prefetch operand (window_abs at 0)
     acc_idx = 1 + len(operands)   # prefetch + operands, acc is last
     return pl.pallas_call(
@@ -807,7 +846,7 @@ def _reduce_call_acc(acc: Array, m: Array, local_row: Array,
 def _run_direction(plan_arrays: Sequence[Array], static_meta,
                    node_vals: Optional[Array], weights: Optional[Array],
                    E: int, mode: str = "f32x2",
-                   combine: str = "add") -> Array:
+                   combine: str = "add", w_head=None) -> Array:
     """Reduce all chunks via one scanned Pallas call; returns
     (num_rows, F) float32.  combine='max' returns the RAW segment max
     with MINMAX_NEG fill on empty rows (caller zero-fills).
@@ -848,6 +887,14 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         return ((wv[jnp.minimum(perm, E - 1)].astype(jnp.float32)
                  * (perm < E)).reshape(-1, te), "scalar")
 
+    def head_weights(perm):
+        # compact (E, 2H) per-edge weights, expanded across their D
+        # feature lanes IN VMEM (w_kind='head') — replaces the fused-GAT
+        # backward's (E, HD+H) w_rev materialisation + 520-lane gather
+        wg = (weights[jnp.minimum(perm, E - 1)].astype(jnp.float32)
+              * (perm < E)[:, None])
+        return wg, "head"
+
     def apply_full_w(m, perm):
         # (E, F) weights multiply OUTSIDE the kernel: XLA fuses the row
         # gather and the multiply into the one (slots, F) message buffer
@@ -886,6 +933,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
                 m = node_vals[gidx]
             if weights is None:
                 w_in, w_kind = None, "none"
+            elif w_head is not None:
+                w_in, w_kind = head_weights(perm)
             elif full_w:
                 m = apply_full_w(m, perm)
                 w_in, w_kind = None, "none"
@@ -894,7 +943,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         out = _reduce_call(m, lr, win, w_in, w_kind, tr=tr, te=te,
                            num_windows=wc, num_blocks=bc, mode=mode,
                            out_width=F, combine=combine,
-                           ordm=ordm if slot_offsets is not None else None)
+                           ordm=ordm if slot_offsets is not None else None,
+                           head_dims=w_head)
         rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)
         out = jnp.where(rowmask[:, None], out, fill)
         return out[:num_rows]
@@ -925,6 +975,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
                 m = node_vals[gidx]
             if weights is None:
                 w_in, w_kind = None, "none"
+            elif w_head is not None:
+                w_in, w_kind = head_weights(perm)
             elif full_w:
                 m = apply_full_w(m, perm)
                 w_in, w_kind = None, "none"
@@ -933,7 +985,8 @@ def _run_direction(plan_arrays: Sequence[Array], static_meta,
         win_abs = win + row0 // tr      # chunk-rebased -> absolute
         acc = _reduce_call_acc(acc, m, lr, win_abs, w_in, w_kind, tr=tr,
                                te=te, num_blocks=bc, mode=mode,
-                               out_width=F, combine=combine)
+                               out_width=F, combine=combine,
+                               head_dims=w_head)
         return acc, None
 
     if C == 1:
