@@ -465,22 +465,41 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
     # sds[v] = sum_h' <rst_vh, dout_vh> per head (dense)
     sds = (rst.reshape(N_dst, H, D) * dout.reshape(N_dst, H, D)).sum(-1)
 
-    # two fused edge gathers (per-row cost is width-independent)
-    if packed:
+    # two fused edge gathers; cost scales with LANE count (width law),
+    # so DGL_TPU_GAT_BWD_PACK=1 bf16-packs the HD FEATURE lanes of both
+    # gathers into u32 pairs (fs and do_d feed only the daw dot — the
+    # features-tolerate-bf16 argument of the packed forward applied to
+    # the backward; every logit/softmax-stat lane stays exact f32 via
+    # same-width bitcast).  520 -> 292 and 544 -> 288 lanes at H=8/D=64.
+    import os as _os
+    bwd_pack = (_os.environ.get("DGL_TPU_GAT_BWD_PACK") == "1"
+                and HD % 2 == 0)
+    if packed and not bwd_pack:
         # the forward consumed bf16-quantized FEATURES (logits stayed
-        # f32): differentiate that function (straight-through)
+        # f32): differentiate that function (straight-through).  The
+        # packed-gather path quantizes identically inside _pack_z.
         z = jnp.concatenate(
             [z[:, :HD].astype(jnp.bfloat16).astype(jnp.float32),
              z[:, HD:]], axis=1)
-    zsrc = z[src].astype(jnp.float32)                         # (E, HD+H)
-    zdst = jnp.concatenate(
-        [dout, er.astype(jnp.float32), m, den, sds], axis=1)[dst]
-    fs, el_s = zsrc[:, :HD], zsrc[:, HD:]
-    do_d = zdst[:, :HD]
-    er_d = zdst[:, HD:HD + H]
-    m_d = zdst[:, HD + H:HD + 2 * H]
-    l_d = zdst[:, HD + 2 * H:HD + 3 * H]
-    sds_d = zdst[:, HD + 3 * H:]
+    if bwd_pack:
+        fs, el_s = _unpack_z(_pack_z(z, HD)[src], HD, H)
+        nd = jnp.concatenate(
+            [dout, er.astype(jnp.float32), m, den, sds], axis=1)
+        do_d, tail = _unpack_z(_pack_z(nd, HD)[dst], HD, 4 * H)
+        er_d = tail[:, :H]
+        m_d = tail[:, H:2 * H]
+        l_d = tail[:, 2 * H:3 * H]
+        sds_d = tail[:, 3 * H:]
+    else:
+        zsrc = z[src].astype(jnp.float32)                     # (E, HD+H)
+        zdst = jnp.concatenate(
+            [dout, er.astype(jnp.float32), m, den, sds], axis=1)[dst]
+        fs, el_s = zsrc[:, :HD], zsrc[:, HD:]
+        do_d = zdst[:, :HD]
+        er_d = zdst[:, HD:HD + H]
+        m_d = zdst[:, HD + H:HD + 2 * H]
+        l_d = zdst[:, HD + 2 * H:HD + 3 * H]
+        sds_d = zdst[:, HD + 3 * H:]
 
     raw = el_s + er_d
     logit = jnp.where(raw >= 0, raw, np.float32(slope) * raw)
@@ -506,7 +525,6 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
     # one reverse-plan pass: [d(Wh) || d(el)] = reduce_u [dout || 1] * [aw || draw]
     node_rev = jnp.concatenate(
         [dout, jnp.ones((N_dst, H), jnp.float32)], axis=1)
-    import os as _os
     if _os.environ.get("DGL_TPU_GAT_BWD_WIDE") == "1":
         # legacy wide path (A/B): materialise (E, HD+H) w_rev and let
         # the kernel gather it at full width

@@ -215,3 +215,31 @@ def test_gat_packed_grads(rng, softmax_mode):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_gat_bwd_pack_grads(rng, softmax_mode, monkeypatch):
+    """DGL_TPU_GAT_BWD_PACK=1 bf16-packs the backward's two wide edge
+    gathers (fs / do_d feature lanes only; logits and softmax stats stay
+    exact f32).  Grads must match the unpacked backward at bf16-feature
+    tolerance."""
+    H, D = 4, 16
+    g, gp = _prep(rng)
+    fsrc, el, er = _rand(rng, g, H, D)
+    t = jnp.asarray(rng.normal(size=(g.num_nodes(), H, D)).astype(np.float32))
+
+    def loss(f, l, r):
+        out = gat_attention_pallas(
+            gp.spmm_plan_meta, gp.spmm_plan_arrays, gp.src, gp.dst, f, l,
+            r, None, 0.2, softmax=softmax_mode)
+        return ((out - t) ** 2).sum()
+
+    g_ref = jax.grad(loss, (0, 1, 2))(fsrc, el, er)
+    monkeypatch.setenv("DGL_TPU_GAT_BWD_PACK", "1")
+    jax.clear_caches()         # env is read at trace time
+    g_pk = jax.grad(loss, (0, 1, 2))(fsrc, el, er)
+    jax.clear_caches()
+    for a, b, name in zip(g_pk, g_ref, ("dfsrc", "del", "der")):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=2e-2, atol=2e-2, err_msg=name)
