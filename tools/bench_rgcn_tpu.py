@@ -109,7 +109,8 @@ def bench_case(name, N, E_target, R, B, in_f, out_f, etype_mode,
                 # the composed basis path materialises the (E, B, out)
                 # gather with (8,128)-tile padding — 8x at out=16 — and
                 # OOMs at E-millions scale; record it, keep going
-                out[f"{tag}_{pathname}_ms"] = "OOM"                     if "exceed memory" in str(ex) else "ERROR"
+                out[f"{tag}_{pathname}_ms"] = (
+                    "OOM" if "exceed memory" in str(ex) else "ERROR")
                 if out[f"{tag}_{pathname}_ms"] == "ERROR":
                     out[f"{tag}_{pathname}_err"] = str(ex)[:400]
     print(json.dumps(out), flush=True)
