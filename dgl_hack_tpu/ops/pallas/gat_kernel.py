@@ -429,12 +429,262 @@ def _run_gat_fwd(plan_arrays: Sequence[Array], meta, z: Array, er: Array,
 
 
 # ---------------------------------------------------------------------------
+# in-kernel fused backward (round 5): aw/draw computed per slot in VMEM
+# ---------------------------------------------------------------------------
+def _gat_bwd_kernel(window_ref, lr_ref, nrev_ref, z_ref, *rest, tr: int,
+                    te: int, H: int, D: int, slope: float, mode: str,
+                    has_w: bool, has_acc: bool):
+    """One reverse-plan pass computing the WHOLE GAT backward edge phase.
+
+    The reverse plan's windows are src-major, so the (HD+H)-wide z rows
+    the daw dot needs (fs = Wh[src], el[src]) are exactly this block's
+    OUTPUT-window rows: z rides in as a window-indexed BlockSpec input
+    (contiguous rows — no gather) and is expanded to slots by the same
+    one-hot MXU matmul the forward uses.  The slot gather carries
+    node_rev = [dout || er || m || den || sds] (HD+4H lanes; +3H over the
+    round-4 [dout || 1], ~free by the width law).  Per slot the kernel
+    recomputes a, daw, dlogit, draw and
+
+      * accumulates dz contributions  S @ [dout * expand(aw) || draw]
+        into the src-window output (same accumulate discipline as the
+        forward kernels), and
+      * emits compact per-slot [draw || dw] (2H lanes) for the XLA-side
+        der segment-sum / dw scatter.
+
+    This removes the round-4 backward's two wide per-edge gathers
+    (zsrc at HD+H, zdst at HD+4H lanes) and the materialised per-edge
+    daw/premultiply passes (KERNELS.md round-4 design note).  Mirrors the
+    reference's fully-fused backward family
+    (src/kernel/cuda/binary_reduce_impl.cu:124-309 BackwardGatFused*).
+    """
+    rest = list(rest)
+    w_ref = rest.pop(0) if has_w else None
+    acc_ref = rest.pop(0) if has_acc else None
+    if len(rest) == 2:
+        dz_ref, e_ref = rest
+    else:
+        (dz_ref,), e_ref = rest, None       # measurement-only variant
+    HD = H * D
+    b = pl.program_id(0)
+    lr = lr_ref[jax.lax.rem(b, 8), :]                        # (TE,)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
+    S = rows == lr[None, :]                                  # (TR, TE)
+    lr_col = jnp.broadcast_to(lr[:, None], (te, tr))
+    St = lr_col == jax.lax.broadcasted_iota(jnp.int32, (te, tr), 1)
+    validH = jnp.broadcast_to(lr[:, None], (te, H)) < tr     # (TE, H)
+
+    # slot-expand this window's z rows: fs (TE, HD), el_s (TE, H)
+    fe = _mxu_sel(St, z_ref[:], mode)
+    fs, el_s = fe[:, :HD], fe[:, HD:]
+    nv = nrev_ref[:]                                         # (TE, HD+4H)
+    do_d = nv[:, :HD]
+    er_d = nv[:, HD:HD + H]
+    m_d = nv[:, HD + H:HD + 2 * H]
+    l_d = nv[:, HD + 2 * H:HD + 3 * H]
+    sds_d = nv[:, HD + 3 * H:]
+
+    raw = el_s + er_d
+    logit = jnp.where(raw >= 0, raw, np.float32(slope) * raw)
+    # real edges have logit <= m (m is the softmax max/upper bound); pad
+    # slots gather SPREAD table rows (garbage) — clamp the exponent so
+    # exp stays finite, then mask.  Padded dst rows carry m = -1e30.
+    a = jnp.exp(jnp.minimum(logit - m_d, np.float32(60.0)))
+    a = a / jnp.where(l_d > 0, l_d, 1.0)
+    a = jnp.where(validH, a, 0.0)
+
+    # daw[e, h] = <fs_eh, dout_dst(e)h>: lane-reduce per head via one-hot
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
+    head_r = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+    Rt = lane_r == head_r                                    # (HD, H)
+    daw = _mxu_sel_t(fs * do_d, Rt, mode)                    # (TE, H)
+    if has_w:
+        wv = w_ref[:]
+        aw, da, dwv = a * wv, daw * wv, a * daw
+    else:
+        aw, da, dwv = a, daw, jnp.zeros_like(a)
+    dlogit = a * (da - sds_d)
+    draw = dlogit * jnp.where(raw >= 0, 1.0, np.float32(slope))
+    draw = jnp.where(validH, draw, 0.0)
+    if e_ref is not None:
+        e_ref[:] = jnp.concatenate([draw, dwv], axis=1)      # (TE, 2H)
+
+    # dz contribution: [dout * expand_D(aw) || draw] reduced to src rows
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // D
+    head_h = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+    R = lane_h == head_h                                     # (H, HD)
+    aw_exp = _mxu_sel_t(aw, R, mode)                         # (TE, HD)
+    msg = jnp.concatenate([do_d * aw_exp, draw], axis=1)     # (TE, HD+H)
+    contrib = _mxu_sel(S, msg, mode)                         # (TR, HD+H)
+
+    prev = window_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, window_ref[b] != prev)
+
+    @pl.when(is_first)
+    def _():
+        dz_ref[:] = (acc_ref[:] + contrib) if has_acc else contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        dz_ref[:] = dz_ref[:] + contrib
+
+
+def _gat_bwd_call(win: Array, lr: Array, nrev: Array, z_pad: Array,
+                  w_slot: Optional[Array], *, tr: int, te: int, bc: int,
+                  wc: int, H: int, D: int, slope: float, mode: str,
+                  acc: Optional[Array] = None, emit_edges: bool = True):
+    """One chunk of the fused backward.  Returns (dz_acc, edge_out) where
+    edge_out is (bc*te, 2H) per-slot [draw || dw].  ``win`` carries
+    ABSOLUTE window ids (both the flat and the accumulating chunked plans
+    do); z_pad is the full (padded) z table, block-indexed per window."""
+    HD = H * D
+    zw = HD + H
+    nw = nrev.shape[1]
+    in_specs = [
+        pl.BlockSpec((8, te), lambda b, w: (b // 8, 0)),
+        pl.BlockSpec((te, nw), lambda b, w: (b, 0)),
+        pl.BlockSpec((tr, zw), lambda b, w: (w[b], 0)),
+    ]
+    operands = [lr, nrev, z_pad]
+    if w_slot is not None:
+        in_specs.append(pl.BlockSpec((te, H), lambda b, w: (b, 0)))
+        operands.append(w_slot)
+    aliases = {}
+    if acc is not None:
+        in_specs.append(pl.BlockSpec((tr, zw), lambda b, w: (w[b], 0)))
+        operands.append(acc)
+        # alias indices count the scalar-prefetch operand (win at 0)
+        aliases = {len(operands): 0}
+        dz_shape = jax.ShapeDtypeStruct(acc.shape, jnp.float32)
+    else:
+        dz_shape = jax.ShapeDtypeStruct((wc * tr, zw), jnp.float32)
+    out_specs = [pl.BlockSpec((tr, zw), lambda b, w: (w[b], 0))]
+    out_shape = [dz_shape]
+    if emit_edges:
+        out_specs.append(pl.BlockSpec((te, 2 * H), lambda b, w: (b, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((bc * te, 2 * H), jnp.float32))
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bc,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    out = pl.pallas_call(
+        functools.partial(_gat_bwd_kernel, tr=tr, te=te, H=H, D=D,
+                          slope=slope, mode=mode,
+                          has_w=w_slot is not None, has_acc=acc is not None),
+        grid_spec=grid,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(win, *operands)
+    return out if emit_edges else (out[0], None)
+
+
+def _run_gat_bwd_fused(plan_arrays: Sequence[Array], meta, node_rev: Array,
+                       z: Array, w: Optional[Array], E: int, slope: float,
+                       mode: str, H: int, D: int, variant: str = "full",
+                       rev_inv: Optional[Array] = None):
+    """Drive the fused backward over the reverse plan (flat or chunked,
+    optionally src-bucketed).  Returns (dz (N_src, HD+H) f32,
+    draw_e (E, H) f32 in edge order, dw_e (E, H) f32 in edge order).
+
+    Per-slot [draw || dw] kernel outputs come back to EDGE order via one
+    GATHER through ``rev_inv`` (edge -> flat slot, prepare_spmm's 17th
+    plan array) — an XLA row scatter costs ~20 ns/row on TPU (measured
+    round 5: it alone made the fused backward SLOWER than compact,
+    115.8 vs 38.4 ns/edge driver-level) while the gather runs at the
+    engine's ~4.7.  Without rev_inv a single post-hoc scatter is used
+    (measurement / legacy path only — dispatch falls back to 'compact').
+
+    variant: measurement-only knobs for the component accounting —
+    'noscatter' emits the per-slot edge output but skips the edge-order
+    reorder; 'noemit' drops the second kernel output entirely (both
+    return zero draw/dw)."""
+    emit = variant != "noemit"
+    reorder = variant == "full"
+    num_rows, tr, te, wc, C = meta[:5]
+    flat = bool(meta[5]) if len(meta) > 5 else False
+    gather_rows = int(meta[6]) if len(meta) > 6 else 0
+    HD = H * D
+    zw = HD + H
+    de = jnp.zeros((E, 2 * H), jnp.float32)
+    if C == 0 or E == 0:
+        return (jnp.zeros((num_rows, zw), jnp.float32),
+                de[:, :H], de[:, H:])
+
+    def slot_w(perm):
+        if w is None:
+            return None
+        return (w[jnp.minimum(perm, E - 1)].astype(jnp.float32)
+                * (perm < E)[:, None])
+
+    def edge_order(eflat, perm_all):
+        # eflat: (slots_total, 2H) per-slot values, chunk-major
+        if rev_inv is not None:
+            ep = jnp.concatenate(
+                [eflat, jnp.zeros((1, 2 * H), jnp.float32)], axis=0)
+            return ep[rev_inv]          # sentinel -> the zero row
+        return de.at[perm_all].set(eflat, mode="drop")
+
+    bc = plan_arrays[3].shape[1]
+    if flat and C == 1:
+        out_len = wc * tr
+        z_pad = jnp.zeros((out_len, zw), jnp.float32).at[:z.shape[0]].set(z)
+        gidx, perm, lr, win, _, cover, _, _ = (a[0] for a in plan_arrays)
+        nrev_g = node_rev[gidx]
+        out, eout = _gat_bwd_call(win, lr, nrev_g, z_pad, slot_w(perm),
+                                  tr=tr, te=te, bc=bc, wc=wc, H=H, D=D,
+                                  slope=slope, mode=mode, emit_edges=emit)
+        rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)[:, None]
+        dz = jnp.where(rowmask, out, 0.0)[:num_rows]
+        if reorder:
+            de = edge_order(eout, perm)
+        return dz, de[:, :H], de[:, H:]
+
+    pad_rows = max(((num_rows + tr - 1) // tr) * tr, tr)
+    z_pad = jnp.zeros((pad_rows, zw), jnp.float32).at[:z.shape[0]].set(z)
+    init = jnp.zeros((pad_rows, zw), jnp.float32)
+
+    def body(acc, xs):
+        gidx, perm, lr, win, row0, cover, grow0, _om = xs
+        if gather_rows:
+            tbl = jax.lax.dynamic_slice(
+                node_rev, (grow0, 0),
+                (min(gather_rows, node_rev.shape[0]), node_rev.shape[1]))
+            nrev_g = tbl[gidx]
+        else:
+            nrev_g = node_rev[gidx]
+        win_abs = win + row0 // tr
+        acc, eout = _gat_bwd_call(win_abs, lr, nrev_g, z_pad, slot_w(perm),
+                                  tr=tr, te=te, bc=bc, wc=wc, H=H, D=D,
+                                  slope=slope, mode=mode, acc=acc,
+                                  emit_edges=emit)
+        if eout is None:
+            eout = jnp.zeros((0, 2 * H), jnp.float32)
+        return acc, eout
+
+    if C == 1:
+        acc, eout = body(init, tuple(a[0] for a in plan_arrays))
+        if reorder:
+            de = edge_order(eout, plan_arrays[1][0])
+    else:
+        acc, eouts = jax.lax.scan(body, init, tuple(plan_arrays))
+        if reorder:
+            de = edge_order(eouts.reshape(-1, 2 * H),
+                            plan_arrays[1].reshape(-1))
+    return acc[:num_rows], de[:, :H], de[:, H:]
+
+
+# ---------------------------------------------------------------------------
 # custom VJP
 # ---------------------------------------------------------------------------
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
-def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed, z,
-               er, w, src, dst, mask, *plan_arrays):
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
+               bwd_impl, z, er, w, src, dst, mask, rev_inv, *plan_arrays):
     # mask: (E,) f32 edge mask (padded graphs; zero-size = no mask).  The
     # forward never reads it (mask-aware plans skip padded slots); the
     # backward zeroes padded-edge logit grads before the dense segment sum
@@ -445,16 +695,17 @@ def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed, z,
 
 
 def _gat_fused_fwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
-                   z, er, w, src, dst, mask, *plan_arrays):
+                   bwd_impl, z, er, w, src, dst, mask, rev_inv,
+                   *plan_arrays):
     rst, den, m = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
                                w if has_w else None, src.shape[0], slope,
                                mode, softmax, packed)
-    return rst, (z, er, w, src, dst, mask, plan_arrays, rst, den, m)
+    return rst, (z, er, w, src, dst, mask, rev_inv, plan_arrays, rst, den, m)
 
 
 def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
-                   res, g):
-    z, er, w, src, dst, mask, plan_arrays, rst, den, m = res
+                   bwd_impl, res, g):
+    z, er, w, src, dst, mask, rev_inv, plan_arrays, rst, den, m = res
     E = src.shape[0]
     H = er.shape[1]
     HD = z.shape[1] - H
@@ -465,15 +716,42 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
     # sds[v] = sum_h' <rst_vh, dout_vh> per head (dense)
     sds = (rst.reshape(N_dst, H, D) * dout.reshape(N_dst, H, D)).sum(-1)
 
-    # two fused edge gathers; cost scales with LANE count (width law),
-    # so DGL_TPU_GAT_BWD_PACK=1 bf16-packs the HD FEATURE lanes of both
-    # gathers into u32 pairs (fs and do_d feed only the daw dot — the
-    # features-tolerate-bf16 argument of the packed forward applied to
-    # the backward; every logit/softmax-stat lane stays exact f32 via
+    if bwd_impl == "fused":
+        # in-kernel aw/draw backward (round 5): no per-edge z gathers, no
+        # materialised per-edge passes — one reverse-plan kernel computes
+        # everything and emits compact [draw || dw] for der/dw
+        zt = z
+        if packed:
+            # differentiate the bf16-feature function the forward ran
+            zt = jnp.concatenate(
+                [z[:, :HD].astype(jnp.bfloat16).astype(jnp.float32),
+                 z[:, HD:]], axis=1)
+        node_rev = jnp.concatenate(
+            [dout, er.astype(jnp.float32), m, den, sds], axis=1)
+        dz_f, draw_e, dw_e = _run_gat_bwd_fused(
+            plan_arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS], meta_rev,
+            node_rev, zt, w if has_w else None, E, slope, mode, H, D,
+            rev_inv=rev_inv if rev_inv.shape[0] else None)
+        if mask.shape[0]:
+            draw_e = draw_e * mask[:, None]
+        der = jax.ops.segment_sum(draw_e, dst, N_dst,
+                                  indices_are_sorted=True).astype(er.dtype)
+        dw = dw_e.astype(w.dtype) if has_w else jnp.zeros_like(w)
+        zeros = tuple(np.zeros(a_.shape, jax.dtypes.float0)
+                      for a_ in plan_arrays)
+        return (dz_f.astype(z.dtype), der, dw,
+                np.zeros(src.shape, jax.dtypes.float0),
+                np.zeros(dst.shape, jax.dtypes.float0),
+                np.zeros(mask.shape, jax.dtypes.float0),
+                np.zeros(rev_inv.shape, jax.dtypes.float0)) + zeros
+
+    # legacy paths (A/B): two fused edge gathers; cost scales with LANE
+    # count (width law), so 'pack' bf16-packs the HD FEATURE lanes of
+    # both gathers into u32 pairs (fs and do_d feed only the daw dot —
+    # the features-tolerate-bf16 argument of the packed forward applied
+    # to the backward; every logit/softmax-stat lane stays exact f32 via
     # same-width bitcast).  520 -> 292 and 544 -> 288 lanes at H=8/D=64.
-    import os as _os
-    bwd_pack = (_os.environ.get("DGL_TPU_GAT_BWD_PACK") == "1"
-                and HD % 2 == 0)
+    bwd_pack = bwd_impl == "pack" and HD % 2 == 0
     if packed and not bwd_pack:
         # the forward consumed bf16-quantized FEATURES (logits stayed
         # f32): differentiate that function (straight-through).  The
@@ -525,35 +803,37 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
     # one reverse-plan pass: [d(Wh) || d(el)] = reduce_u [dout || 1] * [aw || draw]
     node_rev = jnp.concatenate(
         [dout, jnp.ones((N_dst, H), jnp.float32)], axis=1)
-    if _os.environ.get("DGL_TPU_GAT_BWD_WIDE") == "1":
+    if bwd_impl == "wide":
         # legacy wide path (A/B): materialise (E, HD+H) w_rev and let
         # the kernel gather it at full width
         w_rev = jnp.concatenate(
             [jnp.repeat(aw, D, axis=1, total_repeat_length=HD), draw],
             axis=1)
-        out_rev = _run_direction(plan_arrays[N_PLAN_ARRAYS:], meta_rev,
-                                 node_rev, w_rev, E, mode)
+        out_rev = _run_direction(
+            plan_arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS], meta_rev,
+            node_rev, w_rev, E, mode)
     else:
         # compact (E, 2H) weights, expanded across D lanes IN VMEM
         # (w_kind='head') — skips the 3.3 GB w_rev materialisation and
         # the 520-lane slot gather (KERNELS.md round 4)
         w_compact = jnp.concatenate([aw, draw], axis=1)       # (E, 2H)
-        out_rev = _run_direction(plan_arrays[N_PLAN_ARRAYS:], meta_rev,
-                                 node_rev, w_compact, E, mode,
-                                 w_head=(H, D))
+        out_rev = _run_direction(
+            plan_arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS], meta_rev,
+            node_rev, w_compact, E, mode, w_head=(H, D))
     dz = out_rev.astype(z.dtype)
 
     zeros = tuple(np.zeros(a_.shape, jax.dtypes.float0) for a_ in plan_arrays)
     return (dz, der, dw,
             np.zeros(src.shape, jax.dtypes.float0),
             np.zeros(dst.shape, jax.dtypes.float0),
-            np.zeros(mask.shape, jax.dtypes.float0)) + zeros
+            np.zeros(mask.shape, jax.dtypes.float0),
+            np.zeros(rev_inv.shape, jax.dtypes.float0)) + zeros
 
 
 _gat_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)
 
 _gat_fused_jit = jax.jit(_gat_fused,
-                         static_argnums=(0, 1, 2, 3, 4, 5, 6))
+                         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 
 
 def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
@@ -563,16 +843,40 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
                          mode: str = "f32x2",
                          softmax: str = "shift",
                          packed: bool = False,
-                         edge_mask: Optional[Array] = None) -> Array:
+                         edge_mask: Optional[Array] = None,
+                         bwd_impl: str = "auto") -> Array:
     """Fused GAT edge phase: softmax_dst(leaky_relu(el[u]+er[v])) * Wh[u],
     summed over incoming edges.
 
     fsrc (N_src, H, D); el (N_src, H); er (N_dst, H);
     attn_w optional (E, H) post-softmax multiplier (attention dropout) in
     internal edge order.  Returns (N_dst, H, D) in fsrc.dtype.
+
+    bwd_impl picks the backward: 'fused' (in-kernel aw/draw, default),
+    'compact' (round-4 w_kind='head'), 'wide', 'pack' — 'auto' resolves
+    from the DGL_TPU_GAT_BWD_* env flags HERE (a static jit argument, so
+    flipping the flag between calls retraces instead of silently reusing
+    the old backward — the round-4 footgun the advisor flagged).
     """
     meta_fwd, meta_rev = plan_meta[0], plan_meta[1]
     N_src, H, D = fsrc.shape
+    if bwd_impl == "auto":
+        from ...utils.env import get_config
+        bwd_impl = get_config().gat_bwd
+    if bwd_impl == "fused" and len(meta_rev) > 7 and meta_rev[7] is not None:
+        # flat-BUCKETED rev plans keep the m buffer bucket-major (ordm
+        # walk) — not wired into the fused backward; use the round-4 path
+        bwd_impl = "compact"
+    # the 17th plan array (edge -> rev slot, prepare_spmm round 5) turns
+    # the fused backward's edge-order reorder into a GATHER; without it
+    # the fused path would pay a ~20 ns/row XLA scatter — fall back
+    rev_inv = (plan_arrays[2 * N_PLAN_ARRAYS]
+               if len(plan_arrays) > 2 * N_PLAN_ARRAYS else None)
+    plan_arrays = plan_arrays[:2 * N_PLAN_ARRAYS]
+    if bwd_impl == "fused" and rev_inv is None:
+        bwd_impl = "compact"
+    if rev_inv is None:
+        rev_inv = jnp.zeros((0,), jnp.int32)
     z = jnp.concatenate(
         [fsrc.reshape(N_src, H * D).astype(jnp.float32),
          el.astype(jnp.float32)], axis=1)
@@ -582,6 +886,7 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
     mk = jnp.zeros((0,), jnp.float32) if edge_mask is None \
         else edge_mask.astype(jnp.float32)
     rst = _gat_fused_jit(meta_fwd, meta_rev, float(negative_slope), has_w,
-                         mode, softmax, packed, z, er.astype(jnp.float32),
-                         w, src, dst, mk, *plan_arrays)
+                         mode, softmax, packed, bwd_impl, z,
+                         er.astype(jnp.float32),
+                         w, src, dst, mk, rev_inv, *plan_arrays)
     return rst.astype(fsrc.dtype).reshape(-1, H, D)

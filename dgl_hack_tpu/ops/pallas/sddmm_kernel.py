@@ -322,7 +322,7 @@ def _gsddmm_fused_bwd(meta, spmm_meta, op, lhs_kind, mode, dot_d, res, g):
     lhs, y, arrays = res
     spmm_arr = arrays[N_SDDMM_ARRAYS:]
     fwd_arr = spmm_arr[:N_PLAN_ARRAYS]
-    rev_arr = spmm_arr[N_PLAN_ARRAYS:]
+    rev_arr = spmm_arr[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS]
     meta_fwd, meta_rev = spmm_meta[0], spmm_meta[1]
     E = meta[0]
     g = g.astype(jnp.float32)

@@ -144,10 +144,17 @@ class PlanInfo(NamedTuple):
                  then exceed the 64 MB fast-gather regime: silent ~2.2x
                  gather slowdown, KERNELS.md round 3).
     bucket_rows: rows per src bucket (0 = unbucketed).
+    rev_inv:     a 17th plan array (edge id -> flat rev-plan slot, with
+                 the sentinel one past the last slot) follows the 16
+                 direction arrays.  The fused GAT backward uses it to
+                 bring per-SLOT kernel outputs into edge order with one
+                 GATHER — an XLA row scatter costs ~20 ns/row on TPU
+                 (measured round 5), the gather ~4.7.
     """
     masked: bool = False
     flat_width: int = 128
     bucket_rows: int = 0
+    rev_inv: bool = False
 
 
 def plan_info(plan_meta) -> PlanInfo:
@@ -157,6 +164,18 @@ def plan_info(plan_meta) -> PlanInfo:
             and isinstance(plan_meta[2], PlanInfo):
         return plan_meta[2]
     return PlanInfo()
+
+
+def rev_inv_array(rev_perm: np.ndarray, e_full: int) -> np.ndarray:
+    """(e_full,) int32: edge id -> flat slot position in the reverse
+    plan (chunk-major); edges absent from the plan (masked padding) get
+    the sentinel ``rev_perm.size`` — callers append one zero row to the
+    flat slot buffer so sentinel gathers read exact zeros."""
+    pf = np.asarray(rev_perm).reshape(-1)
+    inv = np.full(e_full, pf.size, np.int32)
+    valid = pf < e_full
+    inv[pf[valid]] = np.nonzero(valid)[0].astype(np.int32)
+    return inv
 
 
 def flat_plans_fit(plan_meta, plan_arrays, width_words: int) -> bool:
@@ -1016,7 +1035,7 @@ def _gspmm_fused_fwd(meta_fwd, meta_rev, has_w, mode, x, w, src, dst,
 
 def _gspmm_fused_bwd(meta_fwd, meta_rev, has_w, mode, res, g):
     x, w, src, dst, plan_arrays = res
-    rev_arrays = plan_arrays[N_PLAN_ARRAYS:]
+    rev_arrays = plan_arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS]
     E = src.shape[0]
     # dx[u] = sum_{e=(u,v)} g[v] * w[e] — reduce over the src-major plan
     dx = _run_direction(rev_arrays, meta_rev, g,
@@ -1070,7 +1089,7 @@ def _gspmm_fused_max_bwd(meta_fwd, meta_rev, has_w, mode, res, g):
     (Reference backward compares the same way,
     src/kernel/binary_reduce.cc:452 BackwardBinaryReduce with max.)"""
     x, w, src, dst, out, plan_arrays = res
-    rev_arrays = plan_arrays[N_PLAN_ARRAYS:]
+    rev_arrays = plan_arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS]
     E = src.shape[0]
     m = x[src].astype(jnp.float32)
     if has_w:
@@ -1558,7 +1577,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
         wc = max(1, -(-g.num_dst_nodes // tr))   # unbounded window span
     fms = max(te, FLAT_MAX_BYTES // (max(flat_width, 1) * 4))
     info = PlanInfo(masked=False, flat_width=flat_width,
-                    bucket_rows=bucket_rows or 0)
+                    bucket_rows=bucket_rows or 0, rev_inv=True)
+    E_full = int(g.host("src").shape[0])
     out = g
     if weighted:
         plan = build_gspmm_plan(
@@ -1567,7 +1587,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
             tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms,
             bucket_rows=bucket_rows, bucket_rows_rev=bucket_rows_rev)
-        arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
+        arrays = (plan.fwd.device_arrays() + plan.rev.device_arrays()
+                  + (jnp.asarray(rev_inv_array(plan.rev.perm, E_full)),))
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta + (info,))
     if dense_hub and g.edge_mask is None:
@@ -1597,7 +1618,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
             tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms,
             bucket_rows=bucket_rows, bucket_rows_rev=bucket_rows_rev)
-        arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
+        arrays = (plan.fwd.device_arrays() + plan.rev.device_arrays()
+                  + (jnp.asarray(rev_inv_array(plan.rev.perm, E_full)),))
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta + (info,))
     if sddmm and g.edge_mask is None \
@@ -1645,7 +1667,9 @@ def _prepare_spmm_masked(g, tr: int, te: int, bc: Optional[int],
         flat_max_slots=fms, bucket_rows=bucket_rows)
     info = PlanInfo(masked=True, flat_width=flat_width,
                     bucket_rows=(plan.fwd.gather_rows
-                                 or plan.rev.gather_rows or 0))
-    arrays = plan.fwd.device_arrays() + plan.rev.device_arrays()
+                                 or plan.rev.gather_rows or 0),
+                    rev_inv=True)
+    arrays = (plan.fwd.device_arrays() + plan.rev.device_arrays()
+              + (jnp.asarray(rev_inv_array(plan.rev.perm, e_full)),))
     return g.replace(spmm_plan_arrays=arrays,
                      spmm_plan_meta=plan.static_meta + (info,))

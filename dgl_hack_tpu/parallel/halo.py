@@ -531,13 +531,20 @@ def _build_layout_plans(src2d: np.ndarray, dst2d: np.ndarray,
     fwds = _pad_segment_plans([pl.fwd for pl in plans], e_full)
     revs = _pad_segment_plans([pl.rev for pl in plans], e_full)
     info = PlanInfo(masked=True, flat_width=flat_width,
-                    bucket_rows=fwds[0].gather_rows or revs[0].gather_rows)
+                    bucket_rows=fwds[0].gather_rows or revs[0].gather_rows,
+                    rev_inv=True)
     meta = (fwds[0].static_meta, revs[0].static_meta, info)
     stacked = []
     for group in (fwds, revs):
         devs = [p.device_arrays() for p in group]
         for i in range(len(devs[0])):
             stacked.append(np.stack([np.asarray(d[i]) for d in devs]))
+    # 17th array: per-part edge -> rev-slot map (fused GAT backward's
+    # gather-based edge reorder; pad slots carry sentinel perm = e_full,
+    # so absent edges point one past the slot count -> exact zeros)
+    from ..ops.pallas.spmm_kernel import rev_inv_array
+    stacked.append(np.stack(
+        [rev_inv_array(p.perm, e_full) for p in revs]))
     return meta, tuple(stacked)
 
 
@@ -685,8 +692,9 @@ def local_graph(plan: SpatialPlan, dev1: Dict[str, Array]) -> Graph:
               csc_indptr=dev1["csc_indptr"],
               edge_mask=dev1["edge_mask"], is_block=True)
     if plan.spmm_meta_graph is not None and "spg_0" in dev1:
+        n_arr = 17 if "spg_16" in dev1 else 16
         g = g.replace(
-            spmm_plan_arrays=tuple(dev1[f"spg_{i}"] for i in range(16)),
+            spmm_plan_arrays=tuple(dev1[f"spg_{i}"] for i in range(n_arr)),
             spmm_plan_meta=plan.spmm_meta_graph)
     return g
 

@@ -28,6 +28,7 @@ class Config:
     disable_pallas: bool = False
     gat_softmax: str = "shift"
     gat_packed: bool = False
+    gat_bwd: str = "fused"
     no_rewrite: bool = False
     sddmm_kernel: bool = False
     debug_dispatch: bool = False
@@ -46,6 +47,18 @@ def get_config() -> Config:
         # bf16-packed z gather in the fused GAT kernel: ~1.45x on the
         # dominant gather (KERNELS.md width law) at bf16 input precision
         gat_packed=os.environ.get("DGL_TPU_GAT_PACKED", "0") == "1",
+        # fused-GAT backward implementation (resolved to ONE static string
+        # so it rides the jit cache key instead of being read at trace
+        # time — the round-4 env-flag footgun).  Default 'fused': the
+        # in-kernel aw/draw backward (round 5).  Legacy A/B paths:
+        #   DGL_TPU_GAT_BWD_FUSED=0  -> 'compact' (round-4 w_kind='head')
+        #   DGL_TPU_GAT_BWD_WIDE=1   -> 'wide'    (materialised w_rev)
+        #   DGL_TPU_GAT_BWD_PACK=1   -> 'pack'    (compact + packed gathers)
+        gat_bwd=("wide" if os.environ.get("DGL_TPU_GAT_BWD_WIDE") == "1"
+                 else "pack" if os.environ.get("DGL_TPU_GAT_BWD_PACK") == "1"
+                 else "compact"
+                 if os.environ.get("DGL_TPU_GAT_BWD_FUSED") == "0"
+                 else "fused"),
         # DGL_TPU_NO_REWRITE=1 disables the algebraic v-side gspmm
         # decomposition (debug/measurement escape hatch)
         no_rewrite=os.environ.get("DGL_TPU_NO_REWRITE", "0") == "1",

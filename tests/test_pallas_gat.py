@@ -217,6 +217,158 @@ def test_gat_packed_grads(rng, softmax_mode):
                                    rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("impl", ["fused", "compact", "wide", "pack"])
+@pytest.mark.parametrize("flat", [False, True])
+def test_gat_bwd_impls_match_oracle(rng, softmax_mode, impl, flat):
+    """All four backward implementations (in-kernel fused, round-4
+    compact head-weight, legacy wide w_rev, packed gathers) produce
+    oracle-matching grads, including attn_w (dw)."""
+    g, gp = _prep(rng, num_nodes=250, num_edges=1800, te=128, bc=8, wc=2,
+                  flat=flat)
+    H, D = 2, 16
+    fsrc, el, er = _rand(rng, g, H, D)
+    E = g.num_edges()
+    w = jnp.asarray((rng.random((E, H)) > 0.3).astype(np.float32) / 0.7)
+    t = jnp.asarray(rng.normal(size=(250, H, D)).astype(np.float32))
+
+    def loss_pallas(f, l, r, w_):
+        out = gat_attention_pallas(
+            gp.spmm_plan_meta, gp.spmm_plan_arrays, gp.src, gp.dst, f, l,
+            r, w_, 0.2, softmax=softmax_mode, bwd_impl=impl)
+        return ((out - t) ** 2).sum()
+
+    def loss_oracle(f, l, r, w_):
+        return ((_oracle(g, f, l, r, 0.2, w_) - t) ** 2).sum()
+
+    g_out = jax.grad(loss_pallas, (0, 1, 2, 3))(fsrc, el, er, w)
+    g_ref = jax.grad(loss_oracle, (0, 1, 2, 3))(fsrc, el, er, w)
+    tol = 2e-2 if impl == "pack" else 5e-3
+    for a, b, name in zip(g_out, g_ref, ("dfsrc", "del", "der", "dw")):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=tol, atol=tol, err_msg=name)
+
+
+def test_gat_bwd_fused_hub_chunks(rng, softmax_mode):
+    """Src hub: the rev plan's hub window splits across chunks — the
+    fused backward's aliased-accumulator merge must agree with the
+    oracle."""
+    num_nodes, num_edges = 400, 6000
+    src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    dst = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    src[:3000] = 11                  # rev hub window split over chunks
+    g = dgl.graph((src, dst), num_nodes=num_nodes)
+    gp = dgl.prepare_spmm(g, te=128, bc=8, wc=2, flat=False)
+    assert gp.spmm_plan_meta[1][4] > 2   # rev plan really is multi-chunk
+    H, D = 2, 8
+    fsrc, el, er = _rand(rng, g, H, D)
+
+    def loss(use):
+        def f(fsrc, el, er):
+            out = (gat_attention_pallas(
+                gp.spmm_plan_meta, gp.spmm_plan_arrays, gp.src, gp.dst,
+                fsrc, el, er, None, 0.2, softmax=softmax_mode,
+                bwd_impl="fused") if use == "fused"
+                else _oracle(g, fsrc, el, er, 0.2))
+            return (out * out).sum()
+        return f
+
+    g_ref = jax.grad(loss("oracle"), argnums=(0, 1, 2))(fsrc, el, er)
+    g_out = jax.grad(loss("fused"), argnums=(0, 1, 2))(fsrc, el, er)
+    for a, b, name in zip(g_out, g_ref, ("dfsrc", "del", "der")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_gat_bwd_fused_bucketed_rev(rng, softmax_mode):
+    """Src-bucketed rev plan (gather_rows > 0): the fused backward
+    gathers node_rev from dynamic bucket slices."""
+    g, gp = _prep(rng, num_nodes=300, num_edges=2500, te=64, bc=8, wc=4,
+                  flat=False)
+    gp = dgl.prepare_spmm(g, te=64, bc=8, wc=4, flat=False,
+                          bucket_rows=64)
+    if not gp.spmm_plan_meta[1][6]:
+        pytest.skip("bucketed plan unprofitable at this shape")
+    H, D = 2, 16
+    fsrc, el, er = _rand(rng, g, H, D)
+
+    def loss(use):
+        def f(fsrc, el, er):
+            out = (gat_attention_pallas(
+                gp.spmm_plan_meta, gp.spmm_plan_arrays, gp.src, gp.dst,
+                fsrc, el, er, None, 0.2, softmax=softmax_mode,
+                bwd_impl="fused") if use == "fused"
+                else _oracle(g, fsrc, el, er, 0.2))
+            return (out * out).sum()
+        return f
+
+    g_ref = jax.grad(loss("oracle"), argnums=(0, 1, 2))(fsrc, el, er)
+    g_out = jax.grad(loss("fused"), argnums=(0, 1, 2))(fsrc, el, er)
+    for a, b, name in zip(g_out, g_ref, ("dfsrc", "del", "der")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_gat_bwd_fused_masked(rng, softmax_mode):
+    """Masked (padded) graph with mask-aware plans: fused backward's
+    plan-driven der/dw never see padded edges; grads match the composed
+    masked oracle."""
+    from dgl_hack_tpu.ops.gat import gat_attention
+    n, e = 250, 2000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    mask = rng.random(e) < 0.8
+    g = dgl.graph((src, dst), num_nodes=n, edge_mask=mask)
+    gp = dgl.prepare_spmm(g, te=128)
+    H, D = 2, 16
+    fsrc, el, er = _rand(rng, g, H, D)
+
+    def loss(graph):
+        def f(fsrc, el, er):
+            return (gat_attention(graph, fsrc, el, er, 0.2) ** 2).sum()
+        return f
+
+    g_ref = jax.grad(loss(g), argnums=(0, 1, 2))(fsrc, el, er)
+    g_out = jax.grad(loss(gp), argnums=(0, 1, 2))(fsrc, el, er)
+    for a, b, name in zip(g_out, g_ref, ("dfsrc", "del", "der")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("impl", ["fused", "pack"])
+def test_gat_packed_fwd_bwd_combo(rng, softmax_mode, impl):
+    """Packed FORWARD + each backward: grads must match the oracle
+    differentiated at bf16-quantized features (straight-through
+    consistency — the advisor-flagged untested combination)."""
+    H, D = 4, 16
+    g, gp = _prep(rng)
+    fsrc, el, er = _rand(rng, g, H, D)
+
+    def loss_pallas(f, l, r):
+        out = gat_attention_pallas(
+            gp.spmm_plan_meta, gp.spmm_plan_arrays, gp.src, gp.dst, f, l,
+            r, None, 0.2, softmax=softmax_mode, packed=True,
+            bwd_impl=impl)
+        return (out * out).sum()
+
+    def loss_oracle(f, l, r):
+        fq = f.astype(jnp.bfloat16).astype(jnp.float32)
+        out = _oracle(g, fq, l, r, 0.2)
+        return (out * out).sum()
+
+    gp_ = jax.grad(loss_pallas, (0, 1, 2))(fsrc, el, er)
+    go_ = jax.grad(loss_oracle, (0, 1, 2))(fsrc, el, er)
+    # 'pack' additionally bf16-quantizes the logit-gradient chain (the
+    # documented ~2e-2 opt-in tolerance); 'fused' keeps those lanes f32
+    tol = 3e-2 if impl == "pack" else 5e-3
+    for a, b in zip(gp_, go_):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=tol, atol=tol)
+
+
 def test_gat_bwd_pack_grads(rng, softmax_mode, monkeypatch):
     """DGL_TPU_GAT_BWD_PACK=1 bf16-packs the backward's two wide edge
     gathers (fs / do_d feature lanes only; logits and softmax stats stay

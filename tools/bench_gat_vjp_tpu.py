@@ -67,8 +67,11 @@ def main():
     el = jax.random.normal(k2, (N, H), jnp.float32)
     er = jax.random.normal(k3, (N, H), jnp.float32)
 
-    def run(name, g, packed):
+    def run(name, g, packed, bwd="fused"):
+        # bwd impl rides the jit static args (resolved per trace in
+        # gat_attention_pallas), so toggling between runs is safe
         os.environ["DGL_TPU_GAT_PACKED"] = "1" if packed else "0"
+        os.environ["DGL_TPU_GAT_BWD_FUSED"] = "0" if bwd == "compact" else "1"
 
         def fwd(c, f, l, r):
             o = gat_attention(g, f + c * 0, l, r)
@@ -85,7 +88,7 @@ def main():
                     + gr[0, 0] * 1e-20 + c * 0)
         dt_s = timed_loop(step, (fsrc, el, er))
         print(json.dumps({
-            "case": name,
+            "case": name + ("" if bwd == "fused" else f"_{bwd}"),
             "fwd_ms": round(dt_f * 1e3, 2),
             "fwd_ns_per_edge": round(dt_f / E * 1e9, 2),
             "fwdbwd_ms": round(dt_s * 1e3, 2),
@@ -94,42 +97,58 @@ def main():
         }), flush=True)
         return dt_f, dt_s
 
-    # composed oracle
-    run("composed", g0, False)
+    only = os.environ.get("BENCH_ONLY", "")
 
-    # fused, chunked-acc (round-2 config)
-    g_c = dgl.prepare_spmm(g0, te=256, flat=False, dense_hub=False,
-                           sddmm=False, flat_width=ZW, bucket_rows=None)
-    run("fused_chunked", g_c, False)
-    del g_c
-    gc.collect()
+    if not only or "composed" in only:
+        run("composed", g0, False, bwd="compact")
 
-    # fused + bucketed (+ packed) — the round-3 champion config
+    if not only or "chunked" in only:
+        # fused, chunked-acc (round-2 config); A/B the round-5 in-kernel
+        # aw/draw backward against the round-4 compact head-weight one
+        g_c = dgl.prepare_spmm(g0, te=256, flat=False, dense_hub=False,
+                               sddmm=False, flat_width=ZW, bucket_rows=None)
+        run("fused_chunked", g_c, False, bwd="compact")
+        run("fused_chunked", g_c, False, bwd="fused")
+        del g_c
+        gc.collect()
+
+    if not only or "bucketed" in only:
+        # fused + bucketed (+ packed) — the round-3 champion config
+        g_b = dgl.prepare_spmm(g0, te=256, flat=False, dense_hub=False,
+                               sddmm=False, flat_width=ZW,
+                               bucket_rows="auto")
+        print(json.dumps({"bucketed_meta": {
+            "gather_rows": g_b.spmm_plan_meta[0][6],
+            "chunks": g_b.spmm_plan_meta[0][4],
+            "rev_chunks": g_b.spmm_plan_meta[1][4]}}), flush=True)
+        run("fused_bucketed", g_b, False, bwd="compact")
+        run("fused_bucketed_packed", g_b, True, bwd="compact")
+        del g_b
+        gc.collect()
+
+    if not only or "mixed" in only:
+        # mixed: fwd bucketed, rev chunked (bucket_rows_rev=None) — the
+        # TRAIN config
+        g_m = dgl.prepare_spmm(g0, te=256, flat=False, dense_hub=False,
+                               sddmm=False, flat_width=ZW,
+                               bucket_rows="auto", bucket_rows_rev=None)
+        run("fused_mixed", g_m, False, bwd="compact")
+        run("fused_mixed", g_m, False, bwd="fused")
+        run("fused_mixed_packed", g_m, True, bwd="compact")
+        run("fused_mixed_packed", g_m, True, bwd="fused")
+        del g_m
+        gc.collect()
+
+    if only and "components" not in only:
+        return
     g_b = dgl.prepare_spmm(g0, te=256, flat=False, dense_hub=False,
                            sddmm=False, flat_width=ZW,
                            bucket_rows="auto")
-    from dgl_hack_tpu.ops.pallas.spmm_kernel import plan_info
-    print(json.dumps({"bucketed_meta": {
-        "gather_rows": g_b.spmm_plan_meta[0][6],
-        "chunks": g_b.spmm_plan_meta[0][4],
-        "rev_chunks": g_b.spmm_plan_meta[1][4]}}), flush=True)
-    run("fused_bucketed", g_b, False)
-    run("fused_bucketed_packed", g_b, True)
-
-    # mixed: fwd bucketed, rev chunked (bucket_rows_rev=None) — the
-    # projected-best TRAIN config
-    g_m = dgl.prepare_spmm(g0, te=256, flat=False, dense_hub=False,
-                           sddmm=False, flat_width=ZW,
-                           bucket_rows="auto", bucket_rows_rev=None)
-    run("fused_mixed", g_m, False)
-    run("fused_mixed_packed", g_m, True)
-    del g_m
-    gc.collect()
 
     # ---- bwd components (bucketed config)
     from dgl_hack_tpu.ops.pallas.spmm_kernel import (
         N_PLAN_ARRAYS, _run_direction)
-    rev_arrays = g_b.spmm_plan_arrays[N_PLAN_ARRAYS:]
+    rev_arrays = g_b.spmm_plan_arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS]
     meta_rev = g_b.spmm_plan_meta[1]
     node_rev = jax.random.normal(k1, (N, H * D + H), jnp.float32)
 
