@@ -59,19 +59,26 @@ def main():
     def loop(graph, feat, iters):
         def body(i, h):
             return dgl.gspmm(graph, "copy_lhs", "sum", h) * 1e-3
-        return jax.lax.fori_loop(0, iters, body, feat)[0, 0]
+        return (jax.lax.fori_loop(0, iters, body, feat)[0, 0]
+                .astype(jnp.float32))
 
-    def timed(k):
-        float(loop(g, x, k))          # compile + warm
+    def timed(k, feat):
+        float(loop(g, feat, k))          # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(loop(g, x, k))
+            float(loop(g, feat, k))
             best = min(best, time.perf_counter() - t0)
         return best
 
     k_lo, k_hi = 2, 12
-    dt = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+    dt = (timed(k_hi, x) - timed(k_lo, x)) / (k_hi - k_lo)
+    # bf16 feature carry (round-5 A/B): kills the dense pass's f32->
+    # hi||lo concat (single exact bf16 dot) and halves the remainder's
+    # gather lanes via the u32 auto-pack; output stays bf16 through the
+    # carry like a bf16 layer stack would
+    xb = x.astype(jnp.bfloat16)
+    dtb = (timed(k_hi, xb) - timed(k_lo, xb)) / (k_hi - k_lo)
 
     edges_per_s = E / dt
     # Reference bound: the gather engine sustains ~137M random rows/s
@@ -93,15 +100,24 @@ def main():
     hbm_bytes = E * (F * 4 + 4) + 2 * N * F * 4
     hbm_edges_per_s = E / (hbm_bytes / bw)
 
+    # bf16 carry halves every x-byte in the roofline (rows, x read,
+    # output write); the C-read (dense windows) and gather-issue bounds
+    # are dtype-independent
+    hbm_bytes_bf16 = E * (F * 2 + 4) + 2 * N * F * 2
+    hbm_edges_per_s_bf16 = E / (hbm_bytes_bf16 / bw)
     print(json.dumps({
         "metric": "spmm_copy_u_sum_edges_per_s_per_chip",
         "value": round(edges_per_s),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / sol_edges_per_s, 4),
         "vs_hbm_roofline": round(edges_per_s / hbm_edges_per_s, 4),
-        "carry": "full (N,F) feature matrix per iteration (layer-stack "
-                 "convention); scalar-carry sweep harnesses read ~5% "
-                 "higher (one fewer output pass)",
+        "bf16_carry_value": round(E / dtb),
+        "bf16_vs_hbm_roofline": round(
+            (E / dtb) / hbm_edges_per_s_bf16, 4),
+        "carry": "full (N,F) f32 feature matrix per iteration "
+                 "(layer-stack convention; headline value) — "
+                 "bf16_carry_value is the same loop at bf16 features "
+                 "(exact single-pass dense dot + u32-packed gathers)",
     }))
 
 

@@ -1327,7 +1327,10 @@ def _dense_matmul(C: Array, x: Array, mode: str) -> Array:
         return jnp.dot(C.astype(jnp.float32), x.astype(jnp.float32),
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-    if mode == "fast":
+    if mode == "fast" or x.dtype == jnp.bfloat16:
+        # bf16 features: ONE pass is exact (both operands bf16-
+        # representable, f32 accumulation) — no hi||lo concat, half the
+        # x-read traffic of the f32 carry (round-5 bf16-carry A/B)
         return jnp.dot(Cb, x.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     xf = x.astype(jnp.float32)
@@ -1350,7 +1353,7 @@ def _dense_matmul_t(C: Array, g: Array, mode: str) -> Array:
                                    g.astype(jnp.float32), dn,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
-    if mode == "fast":
+    if mode == "fast" or g.dtype == jnp.bfloat16:
         return jax.lax.dot_general(Cb, g.astype(jnp.bfloat16), dn,
                                    preferred_element_type=jnp.float32)
     gf = g.astype(jnp.float32)

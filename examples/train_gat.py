@@ -36,9 +36,9 @@ def main():
         # (H*D+2H — the KERNELS.md round-3 footgun rule).  TRAINING
         # config: MIXED direction bucketing — fwd bucketed (the 17.6
         # ns/edge forward), rev chunked (src-bucketed rev plans lose 2x
-        # in the coupled VJP) — measured fwd+bwd 386 (composed) -> 121.8
-        # ns/edge with the compact head-weight backward (KERNELS.md
-        # round-4 bench_gat_vjp).
+        # in the coupled VJP) — with the round-5 IN-KERNEL fused
+        # backward (default): measured fwd+bwd 386 (composed) -> 67.8
+        # ns/edge (KERNELS.md round-5 bench_gat_vjp).
         zw = args.num_hidden * args.num_heads + 2 * args.num_heads
         g = dgl.prepare_spmm(g, te=256, flat_width=zw, sddmm=False,
                              flat=False, bucket_rows="auto",

@@ -23,15 +23,24 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+_loops = {}
+
+
 def timed_loop(fn, args, k_lo=2, k_hi=6, reps=3):
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def loop(iters, *a):
-        def body(i, c):
-            return fn(c, *a)
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    # one jitted loop per step FUNCTION: the 8 partitions share padded
+    # shapes, so parts 1..7 reuse part 0's compilation (remote compile
+    # is the wall-clock cost here, not the measurement)
+    if id(fn) not in _loops:
+        @functools.partial(jax.jit, static_argnums=0)
+        def loop(iters, *a):
+            def body(i, c):
+                return fn(c, *a)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        _loops[id(fn)] = loop
+    loop = _loops[id(fn)]
 
     def measure(k):
         float(loop(k, *args))
@@ -50,6 +59,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--threshold", type=int, default=2000)
     ap.add_argument("--budget-mb", type=int, default=600)
+    ap.add_argument("--all-parts", action="store_true",
+                    help="straggler sweep: measure every partition "
+                         "sequentially on the one chip; aggregate "
+                         "throughput reported from the MAX step")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -80,56 +93,19 @@ def main():
     }), flush=True)
 
     rp = plan.reduced
-    p0 = 0
-    d = {}
-    for kname in ("lsrc", "ldst", "lmask", "rsrc", "rdst", "rmask"):
-        d[kname] = jnp.asarray(getattr(rp, kname)[p0])
-    arrs_l = tuple(jnp.asarray(a[p0]) for a in rp.spmm_local)
-    arrs_r = tuple(jnp.asarray(a[p0]) for a in rp.spmm_remote)
-    el_real = int(rp.lmask[p0].sum())
-    er_real = int(rp.rmask[p0].sum())
-    # C0 on DEVICE from the dense edge list (host f16 slab would crawl
-    # through the tunnel): rows/cols as int32, chunked scatter-add
-    C_np = plan.dense_C[p0]
-    rows_u, cols_u = np.nonzero(C_np)
-    vals = C_np[rows_u, cols_u].astype(np.float32)
-    R_pad, n_own = C_np.shape
-    dense_edges_p0 = int(vals.sum())
-    print(json.dumps({"part0_reduced_local": el_real,
-                      "part0_reduced_remote": er_real,
-                      "part0_dense_edges": dense_edges_p0,
-                      "C_nnz": len(vals)}), flush=True)
-
-    @jax.jit
-    def build_C(r, c, v):
-        C = jnp.zeros((R_pad, n_own), jnp.float32)
-        return C.at[r, c].add(v).astype(jnp.bfloat16)
-
-    C0 = build_C(jnp.asarray(rows_u.astype(np.int32)),
-                 jnp.asarray(cols_u.astype(np.int32)), jnp.asarray(vals))
-    jax.block_until_ready(C0)
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     x = jax.random.normal(k1, (rp.n_owned_max, F), jnp.float32)
     halo = jax.random.normal(
         k2, (max(rp.halo_max + P * rp.hk_max, 1), F), jnp.float32)
+    nl = len(rp.spmm_local)
+    from dgl_hack_tpu.ops import segment as seg
 
-    results = {}
-
-    def run(name, fn, args, denom):
-        dt = timed_loop(fn, args)
-        results[name] = dt
-        print(json.dumps({"case": name,
-                          "ms_per_iter": round(dt * 1e3, 3),
-                          "ns_per_edge": round(dt / max(denom, 1) * 1e9,
-                                               3)}), flush=True)
-
+    # step functions defined ONCE: all parts share padded shapes, so the
+    # compiled loops are reused — the straggler sweep costs one compile
     def dense_part(c, Cd, q):
         o = dense_count_matmul("f32x2", Cd, q + c * 0)
         return o[0, 0] * 1e-20 + c * 0
-    run("part0_dense_matmul", dense_part, (C0, x), dense_edges_p0)
-
-    nl = len(arrs_l)
 
     def full_step(c, Cd, q, h, dd, *arrs):
         a = gspmm_pallas(rp.spmm_meta_local, arrs[:nl], dd["lsrc"],
@@ -138,15 +114,10 @@ def main():
                          dd["rdst"], h, None, "sum", None)
         p_ = dense_count_matmul("f32x2", Cd, q + c * 0)
         return (a + b)[0, 0] * 1e-20 + p_[0, 0] * 1e-20 + c * 0
-    run("part0_dense_step", full_step,
-        (C0, x, halo, d) + arrs_l + arrs_r,
-        el_real + er_real + dense_edges_p0)
 
     # segment-path variant for the tiny reduced splits (the non-dense
     # bench measured composed BEATING plans on the local half — small
     # fragmented splits favour XLA's fused gather+scatter)
-    from dgl_hack_tpu.ops import segment as seg
-
     def full_step_seg(c, Cd, q, h, dd):
         a = seg.segment_reduce("sum", (q + c * 0)[dd["lsrc"]],
                                dd["ldst"], rp.n_owned_max,
@@ -156,8 +127,6 @@ def main():
                                mask=dd["rmask"])
         p_ = dense_count_matmul("f32x2", Cd, q + c * 0)
         return (a + b)[0, 0] * 1e-20 + p_[0, 0] * 1e-20 + c * 0
-    run("part0_dense_step_segment", full_step_seg, (C0, x, halo, d),
-        el_real + er_real + dense_edges_p0)
 
     # fwd+bwd (training) through the dense path: the C^T transpose
     # matmul (dense_count_matmul custom VJP) + the reverse plan reduces
@@ -174,18 +143,92 @@ def main():
         v, (gq, gh) = jax.value_and_grad(loss, argnums=(0, 1))(
             q + c * 0, h)
         return v * 1e-20 + gq[0, 0] * 1e-20 + gh[0, 0] * 1e-20 + c * 0
-    run("part0_dense_step_fwdbwd", train_step,
-        (C0, x, halo, d) + arrs_l + arrs_r,
-        el_real + er_real + dense_edges_p0)
 
-    print(json.dumps({
-        "per_device_step_ms": round(results["part0_dense_step"] * 1e3, 3),
-        "implied_all_device_edges_per_s": round(
-            E / results["part0_dense_step"]),
-        "vs_nondense_step_ms": 22.513,
-        "vs_single_chip_ms": 17.0,
-    }), flush=True)
-    gc.collect()
+    parts = list(range(P)) if args.all_parts else [0]
+    per_part = {"dense_matmul": [], "step": [], "step_segment": [],
+                "step_fwdbwd": []}
+    # C on DEVICE from the dense edge lists (a host f16 slab would crawl
+    # through the tunnel); nnz padded UNIFORM so one compiled scatter
+    # builds every part's C
+    R_pad, n_own = plan.dense_C.shape[1:]
+    nnz = []
+    for p0 in parts:
+        r_, c_ = np.nonzero(plan.dense_C[p0])
+        nnz.append((r_, c_, plan.dense_C[p0][r_, c_].astype(np.float32)))
+    max_nnz = max(1, max(len(t[0]) for t in nnz))
+
+    @jax.jit
+    def build_C(r, c, v):
+        C = jnp.zeros((R_pad, n_own), jnp.float32)
+        return C.at[r, c].add(v).astype(jnp.bfloat16)
+
+    for p0 in parts:
+        d = {}
+        for kname in ("lsrc", "ldst", "lmask", "rsrc", "rdst", "rmask"):
+            d[kname] = jnp.asarray(getattr(rp, kname)[p0])
+        arrs_l = tuple(jnp.asarray(a[p0]) for a in rp.spmm_local)
+        arrs_r = tuple(jnp.asarray(a[p0]) for a in rp.spmm_remote)
+        el_real = int(rp.lmask[p0].sum())
+        er_real = int(rp.rmask[p0].sum())
+        rows_u, cols_u, vals = nnz[p0 if args.all_parts else 0]
+        dense_edges = int(vals.sum())
+        denom = el_real + er_real + dense_edges
+        pad = max_nnz - len(vals)   # zero-add at (0, 0): harmless
+        Cd = build_C(
+            jnp.asarray(np.concatenate(
+                [rows_u.astype(np.int32), np.zeros(pad, np.int32)])),
+            jnp.asarray(np.concatenate(
+                [cols_u.astype(np.int32), np.zeros(pad, np.int32)])),
+            jnp.asarray(np.concatenate(
+                [vals, np.zeros(pad, np.float32)])))
+        jax.block_until_ready(Cd)
+
+        results = {}
+
+        def run(name, fn, fargs):
+            dt = timed_loop(fn, fargs)
+            results[name] = dt
+            per_part[name].append(dt)
+            print(json.dumps({"part": p0, "case": name,
+                              "ms_per_iter": round(dt * 1e3, 3),
+                              "ns_per_edge": round(
+                                  dt / max(denom, 1) * 1e9, 3)}),
+                  flush=True)
+
+        print(json.dumps({"part": p0, "reduced_local": el_real,
+                          "reduced_remote": er_real,
+                          "dense_edges": dense_edges,
+                          "C_nnz": len(vals)}), flush=True)
+        run("dense_matmul", dense_part, (Cd, x))
+        run("step", full_step, (Cd, x, halo, d) + arrs_l + arrs_r)
+        run("step_segment", full_step_seg, (Cd, x, halo, d))
+        run("step_fwdbwd", train_step, (Cd, x, halo, d) + arrs_l + arrs_r)
+        del arrs_l, arrs_r, Cd
+        gc.collect()
+
+    # straggler-honest aggregate: throughput is set by the SLOWEST part
+    summary = {}
+    for name, ts in per_part.items():
+        if not ts:
+            continue
+        summary[name] = {
+            "min_ms": round(min(ts) * 1e3, 3),
+            "mean_ms": round(sum(ts) / len(ts) * 1e3, 3),
+            "max_ms": round(max(ts) * 1e3, 3),
+        }
+    out = {"parts_measured": len(per_part["step"]), "summary": summary}
+    if per_part["step"]:
+        t_max = max(per_part["step"])
+        t_best = min(max(per_part["step"]), max(per_part["step_segment"])
+                     if per_part["step_segment"] else 1e9)
+        out["implied_aggregate_edges_per_s_from_max"] = round(E / t_max)
+        out["implied_aggregate_edges_per_s_best_path"] = round(E / t_best)
+    if per_part["step_fwdbwd"]:
+        out["implied_train_edges_per_s_from_max"] = round(
+            E / max(per_part["step_fwdbwd"]))
+    out["vs_nondense_step_ms"] = 22.513
+    out["vs_single_chip_ms"] = 17.0
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -284,6 +284,12 @@ def main():
     # (correctness is covered by tests/test_parallel.py).  Opt in on a
     # real pod.
     ap.add_argument("--attach-plans", action="store_true", default=False)
+    ap.add_argument("--attach-plans-models", action="store_true",
+                    default=False,
+                    help="attach Pallas plans for the gat/rgcn MODEL rows "
+                         "only (the shipped TPU path; interpret-mode tax "
+                         "applies off-TPU) while the copy_u parts sweep "
+                         "stays plan-free")
     ap.add_argument("--ici-gbps", type=float, default=ICI_GBPS["v5p"],
                     help="per-device ICI throughput for the projection "
                          "(v5p default)")
@@ -344,12 +350,15 @@ def main():
                                     alpha=2.1, seed=1)
         xm = np.random.default_rng(1).normal(
             size=(args.model_nodes, args.feats)).astype(np.float32)
-        model_ns = {"gat": 17.1 * 2.5, "rgcn": None}
+        # gat: round-5 measured fused train step (fwd+bwd, mixed+packed,
+        # in-kernel backward) at the floor-accounting shape
+        model_ns = {"gat": 67.8, "rgcn": None}
         for model in args.models:
             r = run_spatial_model(model, gm, xm, args.model_parts,
                                   args.method, hub_k=args.hub_k,
                                   comm_dtype=comm_dtype,
-                                  attach_plans=args.attach_plans,
+                                  attach_plans=(args.attach_plans
+                                                or args.attach_plans_models),
                                   ns_per_edge=model_ns.get(model),
                                   ici_gbps=args.ici_gbps)
             print(json.dumps(r))
