@@ -59,3 +59,58 @@ class ThreadedPrefetcher:
 def prefetch_to_device(loader: Iterable, capacity: int = 2):
     """Convenience wrapper mirroring the reference's usage pattern."""
     return ThreadedPrefetcher(loader, capacity=capacity, device_put=True)
+
+
+class PooledPrefetcher:
+    """``num_workers`` sampling workers (SamplerPool mode='thread') each
+    iterate their OWN loader into one bounded queue; the trainer consumes
+    the merged stream.  The single-machine form of the reference's
+    sampler-pool / trainer split (contrib/sampling/dis_sampler.py
+    SamplerPool): the numpy/native samplers release the GIL (the hot
+    path is the OpenMP rowwise sampler + numpy vector ops), so workers
+    overlap with each other on multi-core hosts and with device compute
+    everywhere.
+
+    ``make_loader(worker_id)`` builds worker i's iterable (give each its
+    own seed shard and its own sampler — np.random.Generator is not
+    thread-safe)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, make_loader: Callable[[int], Iterable],
+                 num_workers: int = 2, capacity: int = 4,
+                 device_put: bool = True):
+        self._make = make_loader
+        self._num_workers = num_workers
+        self._capacity = capacity
+        self._device_put = device_put
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self._capacity)
+        err = []
+
+        def worker(i):
+            try:
+                for item in self._make(i):
+                    if self._device_put:
+                        item = jax.tree_util.tree_map(
+                            lambda a: jax.device_put(a)
+                            if hasattr(a, "shape") else a, item)
+                    q.put(item)
+            except Exception as e:          # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(self._SENTINEL)
+
+        from .dis_sampler import SamplerPool
+        pool = SamplerPool(self._num_workers, worker, mode="thread")
+        pool.start()
+        done = 0
+        while done < self._num_workers:
+            item = q.get()
+            if item is self._SENTINEL:
+                done += 1
+                continue
+            yield item
+        if err:
+            raise err[0]

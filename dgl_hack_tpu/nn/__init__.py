@@ -11,7 +11,7 @@ from .glob import (  # noqa: F401
 )
 from .conv_extra import (  # noqa: F401
     GMMConv, DenseSAGEConv, DenseChebConv, KNNGraph, SegmentedKNNGraph,
-    AtomicConv,
+    AtomicConv, WeaveLayer, WeaveGNN, WLN,
 )
 from .hetero import HeteroGraphConv  # noqa: F401
 from ..ops.edge_softmax import edge_softmax  # noqa: F401

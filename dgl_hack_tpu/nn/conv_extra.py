@@ -7,6 +7,7 @@ from typing import Callable, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.graph import Graph
 from ..ops import segment
@@ -179,3 +180,142 @@ class AtomicConv(nn.Module):
         hsrc = gsddmm(g, "copy_lhs", hv, None, "u")             # (E, T)
         m = (e[:, :, None] * hsrc[:, None, :]).reshape(e.shape[0], -1)
         return gspmm(g, "copy_rhs", "sum", None, m)             # (V, K*T)
+
+
+class WeaveLayer(nn.Module):
+    """Single Weave layer ("Molecular Graph Convolutions", Kearnes et al.
+    2016).  Node<->edge dual updates as plain gspmm/gsddmm compositions
+    (reference: apps/life_sci/python/dgllife/model/gnn/weave.py:11).
+
+    Node update: [W_nn h_v || sum_{e->v} W_en h_e] -> W_u; edge update:
+    [act(W_l h_u + W_r h_v) || act(W_r h_u + W_l h_v) || W_ee h_e] ->
+    W_ue.  Edge features are per-edge in USER (eid) order like the
+    reference; the copy_e reduce runs in internal order (one permute).
+    """
+    node_out_feats: int = 50
+    edge_out_feats: int = 50
+    node_node_hidden_feats: int = 50
+    edge_node_hidden_feats: int = 50
+    node_edge_hidden_feats: int = 50
+    edge_edge_hidden_feats: int = 50
+    activation: Callable = jax.nn.relu
+
+    @nn.compact
+    def __call__(self, g: Graph, node_feats: Array, edge_feats: Array,
+                 node_only: bool = False):
+        act = self.activation
+        ef_int = edge_feats if g.int2user is None \
+            else jnp.asarray(edge_feats)[g.int2user]
+
+        # node update: self projection + incoming-edge projection sum
+        nn_feats = act(nn.Dense(self.node_node_hidden_feats,
+                                kernel_init=xavier,
+                                name="node_to_node")(node_feats))
+        e2n = act(nn.Dense(self.edge_node_hidden_feats, kernel_init=xavier,
+                           name="edge_to_node")(ef_int))
+        en_feats = gspmm(g, "copy_rhs", "sum", None, e2n, "u", "e")
+        new_node = act(nn.Dense(self.node_out_feats, kernel_init=xavier,
+                                name="update_node")(
+            jnp.concatenate([nn_feats, en_feats], axis=-1)))
+        if node_only:
+            return new_node
+
+        # edge update: both src/dst orderings of the left/right
+        # projections + the edge self projection
+        left = nn.Dense(self.node_edge_hidden_feats, kernel_init=xavier,
+                        name="left_node_to_edge")(node_feats)
+        right = nn.Dense(self.node_edge_hidden_feats, kernel_init=xavier,
+                         name="right_node_to_edge")(node_feats)
+        first = act(gsddmm(g, "add", left, right, "u", "v",
+                           out_order="eid"))
+        second = act(gsddmm(g, "add", right, left, "u", "v",
+                            out_order="eid"))
+        third = act(nn.Dense(self.edge_edge_hidden_feats,
+                             kernel_init=xavier,
+                             name="edge_to_edge")(edge_feats))
+        new_edge = act(nn.Dense(self.edge_out_feats, kernel_init=xavier,
+                                name="update_edge")(
+            jnp.concatenate([first, second, third], axis=-1)))
+        return new_node, new_edge
+
+
+class WeaveGNN(nn.Module):
+    """Stacked Weave layers (reference: weave.py WeaveGNN).  Returns
+    updated node feats (and edge feats when node_only=False)."""
+    num_layers: int = 2
+    hidden_feats: int = 50
+    activation: Callable = jax.nn.relu
+
+    @nn.compact
+    def __call__(self, g: Graph, node_feats: Array, edge_feats: Array,
+                 node_only: bool = True):
+        for i in range(self.num_layers - 1):
+            node_feats, edge_feats = WeaveLayer(
+                node_out_feats=self.hidden_feats,
+                edge_out_feats=self.hidden_feats,
+                node_node_hidden_feats=self.hidden_feats,
+                edge_node_hidden_feats=self.hidden_feats,
+                node_edge_hidden_feats=self.hidden_feats,
+                edge_edge_hidden_feats=self.hidden_feats,
+                activation=self.activation,
+                name=f"layer{i}")(g, node_feats, edge_feats)
+        return WeaveLayer(
+            node_out_feats=self.hidden_feats,
+            edge_out_feats=self.hidden_feats,
+            node_node_hidden_feats=self.hidden_feats,
+            edge_node_hidden_feats=self.hidden_feats,
+            node_edge_hidden_feats=self.hidden_feats,
+            edge_edge_hidden_feats=self.hidden_feats,
+            activation=self.activation,
+            name=f"layer{self.num_layers - 1}")(
+                g, node_feats, edge_feats, node_only=node_only)
+
+
+def _wln_init(key, shape, dtype=jnp.float32):
+    """WLN weight init: normal with std min(1/sqrt(in), 0.1)
+    (reference: wln.py WLNLinear.reset_parameters)."""
+    in_feats = shape[0]
+    std = min(1.0 / float(np.sqrt(in_feats)), 0.1)
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class WLN(nn.Module):
+    """Weisfeiler-Lehman Network encoder ("Predicting Organic Reaction
+    Outcomes with WLN", Jin et al. 2017) — the reaction-center model's
+    GNN (reference: apps/life_sci/python/dgllife/model/gnn/wln.py:75).
+
+    n_layers of SHARED-parameter message passing: per edge
+    he = relu(W_m [h_src || e]); h_v' = relu(W_n [h_v || sum he]);
+    final pairwise features h_nbr(v) * W_s h_v with
+    h_nbr = sum_{e->v} (W_nm h_src) * (W_em e).  Edge features arrive in
+    USER order (reference parity); messages run internal-order.
+    """
+    node_out_feats: int = 300
+    n_layers: int = 3
+
+    @nn.compact
+    def __call__(self, g: Graph, node_feats: Array, edge_feats: Array):
+        H = self.node_out_feats
+        ef_int = edge_feats if g.int2user is None \
+            else jnp.asarray(edge_feats)[g.int2user]
+        h = jax.nn.relu(nn.Dense(H, use_bias=False, kernel_init=_wln_init,
+                                 name="project_node_in_feats")(node_feats))
+        msg_dense = nn.Dense(H, kernel_init=_wln_init,
+                             name="project_concatenated_messages")
+        upd_dense = nn.Dense(H, kernel_init=_wln_init,
+                             name="get_new_node_feats")
+        for _ in range(self.n_layers):         # SHARED params across layers
+            h_src = gsddmm(g, "copy_lhs", h, None, "u", "e")  # (E, H) int
+            he = jax.nn.relu(msg_dense(
+                jnp.concatenate([h_src, ef_int], axis=-1)))
+            agg = gspmm(g, "copy_rhs", "sum", None, he, "u", "e")
+            h = jax.nn.relu(upd_dense(
+                jnp.concatenate([h, agg], axis=-1)))
+        hv = nn.Dense(H, use_bias=False, kernel_init=_wln_init,
+                      name="project_node_messages")(h)
+        he = nn.Dense(H, use_bias=False, kernel_init=_wln_init,
+                      name="project_edge_messages")(ef_int)
+        h_nbr = gspmm(g, "mul", "sum", hv, he, "u", "e")
+        h_self = nn.Dense(H, use_bias=False, kernel_init=_wln_init,
+                          name="project_self")(h)
+        return h_nbr * h_self

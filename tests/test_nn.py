@@ -279,3 +279,119 @@ def test_relgraphconv_pair_plan_masked(rng=np.random.default_rng(48)):
     fast = layer.apply(params, g, x, jnp.asarray(et), plan=plan)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_weave_layer_oracle(rng=np.random.default_rng(51)):
+    """WeaveLayer vs a dense numpy oracle of the reference math
+    (apps/life_sci .../gnn/weave.py:11): node update = [W_nn h || sum
+    W_en e] -> W_u; edge update = [act(l_u+r_v) || act(r_u+l_v) ||
+    W_ee e] -> W_ue."""
+    g, src, dst = random_graph(rng, num_edges=60)
+    n, e = g.num_nodes(), 60
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    ef = rng.normal(size=(e, 3)).astype(np.float32)
+    layer = gnn.WeaveLayer(node_out_feats=7, edge_out_feats=6,
+                           node_node_hidden_feats=4,
+                           edge_node_hidden_feats=4,
+                           node_edge_hidden_feats=5,
+                           edge_edge_hidden_feats=5)
+    params = layer.init(jax.random.PRNGKey(0), g, jnp.asarray(x),
+                        jnp.asarray(ef))
+    out_n, out_e = layer.apply(params, g, jnp.asarray(x), jnp.asarray(ef))
+    assert out_n.shape == (n, 7) and out_e.shape == (e, 6)
+
+    def dense(name, v, relu=True):
+        p = params["params"][name]
+        r = v @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
+        return np.maximum(r, 0.0) if relu else r
+
+    nn_f = dense("node_to_node", x)
+    e2n = dense("edge_to_node", ef)
+    en = np.zeros((n, 4), np.float32)
+    for i, d in enumerate(dst):
+        en[d] += e2n[i]
+    ref_n = dense("update_node", np.concatenate([nn_f, en], 1))
+    np.testing.assert_allclose(np.asarray(out_n), ref_n, rtol=1e-4,
+                               atol=1e-5)
+
+    left = dense("left_node_to_edge", x, relu=False)
+    right = dense("right_node_to_edge", x, relu=False)
+    first = np.maximum(left[src] + right[dst], 0.0)
+    second = np.maximum(right[src] + left[dst], 0.0)
+    third = dense("edge_to_edge", ef)
+    ref_e = dense("update_edge", np.concatenate([first, second, third], 1))
+    np.testing.assert_allclose(np.asarray(out_e), ref_e, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_weave_gnn_grad(rng=np.random.default_rng(52)):
+    g, src, dst = random_graph(rng, num_edges=40)
+    n, e = g.num_nodes(), 40
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    ef = jnp.asarray(rng.normal(size=(e, 3)).astype(np.float32))
+    model = gnn.WeaveGNN(num_layers=2, hidden_feats=8)
+    params = model.init(jax.random.PRNGKey(0), g, x, ef)
+
+    def loss(p):
+        return (model.apply(p, g, x, ef) ** 2).sum()
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(a))) for a in flat)
+    assert any(float(jnp.abs(a).max()) > 0 for a in flat)
+
+
+def test_wln_oracle(rng=np.random.default_rng(53)):
+    """WLN vs dense numpy oracle (apps/life_sci .../gnn/wln.py:75):
+    shared-parameter message passing + final pairwise product."""
+    g, src, dst = random_graph(rng, num_edges=50)
+    n, e = g.num_nodes(), 50
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    ef = rng.normal(size=(e, 3)).astype(np.float32)
+    model = gnn.WLN(node_out_feats=6, n_layers=2)
+    params = model.init(jax.random.PRNGKey(0), g, jnp.asarray(x),
+                        jnp.asarray(ef))
+    out = model.apply(params, g, jnp.asarray(x), jnp.asarray(ef))
+    assert out.shape == (n, 6)
+
+    P = params["params"]
+
+    def lin(name, v, bias=True, relu=False):
+        r = v @ np.asarray(P[name]["kernel"])
+        if bias and "bias" in P[name]:
+            r = r + np.asarray(P[name]["bias"])
+        return np.maximum(r, 0.0) if relu else r
+
+    h = np.maximum(lin("project_node_in_feats", x, bias=False), 0.0)
+    for _ in range(2):
+        he = np.maximum(
+            lin("project_concatenated_messages",
+                np.concatenate([h[src], ef], 1)), 0.0)
+        agg = np.zeros((n, 6), np.float32)
+        for i, d in enumerate(dst):
+            agg[d] += he[i]
+        h = np.maximum(
+            lin("get_new_node_feats", np.concatenate([h, agg], 1)), 0.0)
+    hv = lin("project_node_messages", h, bias=False)
+    hee = lin("project_edge_messages", ef, bias=False)
+    h_nbr = np.zeros((n, 6), np.float32)
+    for i, (s, d) in enumerate(zip(src, dst)):
+        h_nbr[d] += hv[s] * hee[i]
+    ref = h_nbr * lin("project_self", h, bias=False)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_wln_grad(rng=np.random.default_rng(54)):
+    g, src, dst = random_graph(rng, num_edges=30)
+    n, e = g.num_nodes(), 30
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    ef = jnp.asarray(rng.normal(size=(e, 3)).astype(np.float32))
+    model = gnn.WLN(node_out_feats=5, n_layers=3)
+    params = model.init(jax.random.PRNGKey(0), g, x, ef)
+
+    def loss(p):
+        return (model.apply(p, g, x, ef) ** 2).sum()
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(a))) for a in flat)
