@@ -256,7 +256,12 @@ class RelGraphConv(nn.Module):
         per edge through the pair graph's Pallas plans, MXU projection at
         M pair rows, dst segment-sum — the TPU answer to the fork's
         etype-sorted fused RGCN kernels
-        (src/kernel/cuda/binary_reduce_impl.cu:914)."""
+        (src/kernel/cuda/binary_reduce_impl.cu:914).  The plan covers
+        ``regularizer='basis'`` only; 'bdd' ignores it and runs the
+        composed per-edge block-diagonal path (its per-edge weight is a
+        function of etype alone, so a pair-level formulation would need
+        a (M, in) x per-pair block bmm — unbuilt; the composed path is
+        the measured default there)."""
         in_feats = x.shape[-1]
         B = self.num_bases
         if B is None or B > self.num_rels or B <= 0:

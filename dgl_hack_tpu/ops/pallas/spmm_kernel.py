@@ -1182,7 +1182,8 @@ def build_gspmm_plan_edges(src_real: np.ndarray, dst_real: np.ndarray,
                            flat_max_slots: int = FLAT_MAX_SLOTS,
                            bucket_rows: Optional[int] = None,
                            gather_n_fwd: Optional[int] = None,
-                           gather_n_rev: Optional[int] = None) -> GspmmPlan:
+                           gather_n_rev: Optional[int] = None,
+                           bucket_rows_rev="same") -> GspmmPlan:
     """Build both direction plans from a REAL-edge list (mask-aware).
 
     ``src_real``/``dst_real`` are the unpadded edges, dst-sorted.  ``eids``
@@ -1213,10 +1214,11 @@ def build_gspmm_plan_edges(src_real: np.ndarray, dst_real: np.ndarray,
     order = np.argsort(src_real, kind="stable")
     csr = np.zeros(num_src + 1, np.int64)
     np.cumsum(np.bincount(src_real, minlength=num_src), out=csr[1:])
+    br_rev = bucket_rows if bucket_rows_rev == "same" else bucket_rows_rev
     rev = build_segment_plan(csr, src_real[order], dst_real[order],
                              num_src, tr, te, bc, wc, gather_n=gr,
                              flat=flat, flat_max_slots=flat_max_slots,
-                             bucket_rows=bucket_rows)
+                             bucket_rows=br_rev)
 
     def compose(plan, ids):
         comp = np.where(plan.perm < Er,

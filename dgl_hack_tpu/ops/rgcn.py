@@ -114,10 +114,26 @@ def prepare_rgcn(g, etypes, num_rels: int, prepare: bool = True,
         bc = max(8, (MSG_CHUNK_BYTES // (te * max(flat_width, 1) * 4))
                  // 8 * 8)
         fms = max(te, FLAT_MAX_BYTES // (max(flat_width, 1) * 4))
+        # REV bucketing follows the ROW-COUNT gather law (round 5,
+        # bench_rgcn_bwd_tpu + the microbench sweep): the engine gathers
+        # at 2.05 ns/row from tables of <=~192k ROWS and ~10 ns/row past
+        # ~256k rows REGARDLESS of byte size (192k x 128 lanes = 94 MB
+        # still fast; 384k x 16 lanes = 23 MB already slow) — a
+        # refinement of round 3's byte-denominated operand-size law.
+        # The reverse gathers the (M, in) pair table, so when M sits in
+        # (256k, 2*192k] a TWO-bucket rev plan wins (measured 21.5 vs
+        # 23.0 unbucketed vs 28.5 at the old byte-law 131k buckets:
+        # finer buckets lose to cell fragmentation).  Larger M is
+        # unmeasured -> unbucketed.
+        bucket_rows_rev = kw.pop("bucket_rows_rev", "auto")
+        if bucket_rows_rev == "auto":
+            bucket_rows_rev = ((-(-M // 2) // 8) * 8 + 8
+                               if 262_144 < M <= 2 * 196_608 else None)
         plan = build_gspmm_plan_edges(
             src[order], inv.astype(np.int64), g.num_src_nodes, M,
             tr=tr, te=te, bc=bc, wc=max(1, -(-M // tr)), flat=flat,
-            flat_max_slots=fms, bucket_rows=bucket_rows)
+            flat_max_slots=fms, bucket_rows=bucket_rows,
+            bucket_rows_rev=bucket_rows_rev)
         info = PlanInfo(masked=False, flat_width=flat_width,
                         bucket_rows=plan.fwd.gather_rows or 0)
         pg = pg.replace(

@@ -166,6 +166,105 @@ def refine_partition(g: Graph, parts: np.ndarray, k: int,
     return best_parts.astype(np.int32)
 
 
+def _heavy_edge_match(a: np.ndarray, b: np.ndarray, wt: np.ndarray,
+                      n: int, rng, rounds: int = 4) -> np.ndarray:
+    """Vectorised approximate heavy-edge matching (the parallel-HEM
+    scheme: each round every unmatched node proposes its heaviest
+    unmatched neighbour, mutual proposals match).  Returns match[v] =
+    partner or v
+    (singleton).  Reference quality bar: METIS's matching phase inside
+    METIS_PartGraphKway (src/graph/metis_partition.cc:35)."""
+    match = np.arange(n, dtype=np.int64)
+    free = np.ones(n, bool)
+    for _ in range(rounds):
+        m = free[a] & free[b]
+        if not m.any():
+            break
+        u = np.concatenate([a[m], b[m]])
+        v = np.concatenate([b[m], a[m]])
+        w = np.concatenate([wt[m], wt[m]]) + rng.random(2 * int(m.sum()))
+        order = np.lexsort((w, u))
+        best = np.full(n, -1, np.int64)
+        best[u[order]] = v[order]      # last write per u = heaviest nbr
+        cand = np.nonzero(best >= 0)[0]
+        mutual = cand[best[best[cand]] == cand]
+        pairs = mutual[mutual < best[mutual]]
+        match[pairs] = best[pairs]
+        match[best[pairs]] = pairs
+        free[pairs] = False
+        free[best[pairs]] = False
+    return match
+
+
+def multilevel_partition(g: Graph, k: int, seed: int = 0,
+                         coarse_to: Optional[int] = None,
+                         max_levels: int = 12,
+                         balance_edges: bool = True) -> np.ndarray:
+    """Multilevel k-way partitioning — the actual METIS recipe
+    (reference: METIS_PartGraphKway, src/graph/metis_partition.cc:35):
+    heavy-edge-matching coarsening until the graph is small, Fennel on
+    the coarsest graph, then uncoarsen with a KL/FM refinement sweep at
+    EVERY level (refine_partition is the vectorised O(E) sweep).
+
+    Cluster weights carry the balance objective down the hierarchy:
+    coarse in-degree equals the summed original in-degree (parallel
+    edges keep multiplicity; intra-cluster edges become self-loops), so
+    the edge-balance cap Fennel enforces on the coarse graph bounds the
+    fine graph's padded-compute tax too."""
+    n = g.num_nodes()
+    if coarse_to is None:
+        coarse_to = max(40 * k, 256)
+    rng = np.random.default_rng(seed)
+    s, d = g.host_edges()
+    s = s.astype(np.int64)
+    d = d.astype(np.int64)
+    maps = []          # maps[i]: level-i node -> level-(i+1) node
+    projs = [None]     # projs[i]: ORIGINAL node -> level-i node
+    proj = np.arange(n, dtype=np.int64)
+    cs, cd = s, d
+    cn = n
+    for _ in range(max_levels):
+        if cn <= coarse_to:
+            break
+        key = np.minimum(cs, cd) * cn + np.maximum(cs, cd)
+        uk, wt = np.unique(key, return_counts=True)
+        a, b = uk // cn, uk % cn
+        keep = a != b
+        a, b, wt = a[keep], b[keep], wt[keep].astype(np.float64)
+        match = _heavy_edge_match(a, b, wt, cn, rng)
+        rep = np.minimum(np.arange(cn, dtype=np.int64), match)
+        uniq, cid = np.unique(rep, return_inverse=True)
+        n_next = len(uniq)
+        if n_next > 0.95 * cn:          # matching stalled
+            break
+        maps.append(cid)
+        proj = cid[proj]
+        projs.append(proj)
+        cs, cd = cid[cs], cid[cd]       # keep multiplicity + self-loops
+        cn = n_next
+    # partition the coarsest graph (weighted Fennel: in-degree of the
+    # coarse graph IS the summed original ownership weight)
+    cg = _build(cs.astype(np.int32), cd.astype(np.int32), cn, cn,
+                is_block=False)
+    parts = fennel_partition(cg, k, seed=seed,
+                             balance_edges=balance_edges)
+    parts = refine_partition(cg, parts, k, balance_edges=balance_edges,
+                             seed=seed)
+    # uncoarsen: project and refine at every level (the KL sweeps)
+    for i in reversed(range(len(maps))):
+        parts = parts[maps[i]]          # level i+1 -> level i assignment
+        pr = projs[i]
+        # proj values are dense level-i ids (np.unique inverse), so
+        # max+1 is the level-i node count
+        lvl_n = int(pr.max()) + 1 if pr is not None else n
+        lg = g if pr is None else _build(
+            pr[s].astype(np.int32), pr[d].astype(np.int32),
+            lvl_n, lvl_n, is_block=False)
+        parts = refine_partition(lg, parts, k,
+                                 balance_edges=balance_edges, seed=seed)
+    return parts.astype(np.int32)
+
+
 def partition(g: Graph, k: int, method: str = "fennel",
               seed: int = 0) -> np.ndarray:
     """Node -> part assignment (the METIS_PartGraphKway replacement,
@@ -188,6 +287,8 @@ def partition(g: Graph, k: int, method: str = "fennel",
     elif method == "fennel-refine":
         p = fennel_partition(g, k, seed=seed, balance_edges=True)
         p = refine_partition(g, p, k, seed=seed, balance_edges=True)
+    elif method == "multilevel":
+        p = multilevel_partition(g, k, seed=seed)
     else:
         raise ValueError(f"unknown partition method {method!r}")
     s, d = g.host_edges()

@@ -272,3 +272,28 @@ def test_metis_partition_api():
     covered = np.concatenate(
         [np.asarray(p.node_map)[np.asarray(p.inner_node)] for p in parts])
     assert sorted(covered.tolist()) == list(range(60))
+
+
+def test_multilevel_partition():
+    """Multilevel (HEM coarsen -> fennel -> per-level refine) recovers
+    planted communities far better than one-shot fennel and keeps edge
+    balance (measured round 5: cut 0.139 vs 0.350 on the clustered 100k
+    graph).  Small-scale invariants here: valid assignment, beats plain
+    fennel's cut on a clustered graph, balance within the cap."""
+    from dgl_hack_tpu.data import planted_partition
+    from dgl_hack_tpu.partition.partition import partition
+
+    ds = planted_partition(3000, 4, 8, avg_degree=10.0, homophily=0.9,
+                           seed=0, train_per_class=8)
+    g = ds.graph
+    s, d = g.host_edges()
+    k = 4
+    pf = partition(g, k, method="fennel", seed=3)
+    pm = partition(g, k, method="multilevel", seed=3)
+    assert pm.shape == (g.num_nodes(),)
+    assert pm.min() >= 0 and pm.max() < k
+    cut_f = int((pf[s] != pf[d]).sum())
+    cut_m = int((pm[s] != pm[d]).sum())
+    assert cut_m < cut_f
+    ecnt = np.bincount(pm[d], minlength=k)
+    assert ecnt.max() * k / g.num_edges() < 1.35

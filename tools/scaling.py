@@ -376,7 +376,7 @@ def main():
         # = round-2 node-only objective (cut-first) — both recorded, the
         # cut/padding tradeoff is real on clustered graphs
         for method in ("random", "fennel-nodes", "fennel",
-                       "fennel-refine"):
+                       "fennel-refine", "multilevel"):
             plan = build_spatial_plan(ds.graph, 8, method=method, seed=7)
             st = plan.stats()
             print(json.dumps({
