@@ -64,7 +64,13 @@ class _FrameView:
         return v
 
     def __setitem__(self, key: str, value) -> None:
-        value = jnp.asarray(value)
+        # keep numpy inputs host-side (sampler-produced blocks defer
+        # device transfer to the prefetcher's ONE batched device_put —
+        # eager per-array transfers through the axon tunnel measured
+        # ~350 ms/batch of pure latency, round 5); anything else
+        # converts as before
+        if not isinstance(value, (np.ndarray, jax.Array)):
+            value = jnp.asarray(value)
         if self._set_perm is not None:
             value = value[self._set_perm]
         self._frame[key] = value
@@ -365,7 +371,12 @@ class Graph:
 def _build(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
            *, is_block: bool, build_csr: bool = True,
            edge_mask: Optional[np.ndarray] = None,
-           force_perm: bool = False) -> Graph:
+           force_perm: bool = False, device: bool = True) -> Graph:
+    # device=False keeps every structure array HOST-side (numpy pytree
+    # leaves): sampler-produced minibatch blocks go to the device in ONE
+    # batched device_put (prefetch.py) or at the jit boundary — the
+    # eager per-array jnp.asarray here measured ~350 ms/batch of tunnel
+    # latency in the sampled pipeline (round 5, bench_pipeline --profile)
     E = src.shape[0]
     # id-width ceiling: every index is int32 on-device (512 B gather rows
     # want narrow ids; see KERNELS.md).  The reference carries 32/64-bit
@@ -396,20 +407,21 @@ def _build(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
     csc_indptr = np.zeros(num_dst + 1, dtype=np.int32)
     np.cumsum(np.bincount(s_dst, minlength=num_dst), out=csc_indptr[1:])
 
+    conv = jnp.asarray if device else (lambda a: a)
     kw: Dict[str, Any] = {}
     if not already_sorted:
         inv = np.empty(E, dtype=np.int32)
         inv[perm] = np.arange(E, dtype=np.int32)
-        kw["int2user"] = jnp.asarray(perm)   # internal i -> user id perm[i]
-        kw["user2int"] = jnp.asarray(inv)    # user u -> internal position
+        kw["int2user"] = conv(perm)   # internal i -> user id perm[i]
+        kw["user2int"] = conv(inv)    # user u -> internal position
     if build_csr:
         csr_perm = np.argsort(s_src, kind="stable").astype(np.int32)
         csr_indptr = np.zeros(num_src + 1, dtype=np.int32)
         np.cumsum(np.bincount(s_src, minlength=num_src), out=csr_indptr[1:])
-        kw["csr_indptr"] = jnp.asarray(csr_indptr)
-        kw["csr_eids"] = jnp.asarray(csr_perm)
+        kw["csr_indptr"] = conv(csr_indptr)
+        kw["csr_eids"] = conv(csr_perm)
     if edge_mask is not None:
-        kw["edge_mask"] = jnp.asarray(edge_mask[perm])
+        kw["edge_mask"] = conv(edge_mask[perm])
 
     np_arrays = {"src": s_src, "dst": s_dst, "csc_indptr": csc_indptr}
     if not already_sorted:
@@ -419,8 +431,8 @@ def _build(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
         np_arrays["csr_indptr"] = csr_indptr
         np_arrays["csr_eids"] = csr_perm
     g = Graph(num_src=num_src, num_dst=num_dst,
-              src=jnp.asarray(s_src), dst=jnp.asarray(s_dst),
-              csc_indptr=jnp.asarray(csc_indptr), is_block=is_block, **kw)
+              src=conv(s_src), dst=conv(s_dst),
+              csc_indptr=conv(csc_indptr), is_block=is_block, **kw)
     # host-side numpy cache: avoids device->host transfers in samplers,
     # planners and transforms (they are huge through a remote-TPU tunnel)
     object.__setattr__(g, "_np_cache", np_arrays)

@@ -199,7 +199,8 @@ def compact_graphs(graphs, always_preserve=None):
 def to_block(frontier: Graph, dst_nodes: Optional[np.ndarray] = None,
              include_dst_in_src: bool = True,
              pad_num_src: Optional[int] = None,
-             pad_num_edges: Optional[int] = None):
+             pad_num_edges: Optional[int] = None,
+             device: bool = True):
     """Bipartite compaction of a sampled frontier — the minibatch block
     builder (reference: src/graph/transform/to_bipartite.cc:31, IdHashMap
     based, CPU-only there too).
@@ -252,7 +253,7 @@ def to_block(frontier: Graph, dst_nodes: Optional[np.ndarray] = None,
         bd = np.concatenate([bd, np.zeros(pad, np.int32)])
         mask = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
     blk = _build(bs, bd, num_src, n_dst, is_block=True, edge_mask=mask,
-                 force_perm=pad_num_edges is not None)
+                 force_perm=pad_num_edges is not None, device=device)
     if pad_num_src is not None and num_src > n_src:
         src_ids = np.concatenate(
             [src_ids, np.zeros(num_src - n_src, np.int32)])

@@ -36,9 +36,10 @@ class ThreadedPrefetcher:
             try:
                 for item in self._iterable:
                     if self._device_put:
-                        item = jax.tree_util.tree_map(
-                            lambda a: jax.device_put(a)
-                            if hasattr(a, "shape") else a, item)
+                        # ONE batched transfer for the whole sample tree
+                        # (per-leaf device_put pays a tunnel round trip
+                        # per array on axon — round-5 pipeline profile)
+                        item = jax.device_put(item)
                     q.put(item)
             except Exception as e:      # propagate to consumer
                 err.append(e)
@@ -93,9 +94,7 @@ class PooledPrefetcher:
             try:
                 for item in self._make(i):
                     if self._device_put:
-                        item = jax.tree_util.tree_map(
-                            lambda a: jax.device_put(a)
-                            if hasattr(a, "shape") else a, item)
+                        item = jax.device_put(item)
                     q.put(item)
             except Exception as e:          # propagate to consumer
                 err.append(e)

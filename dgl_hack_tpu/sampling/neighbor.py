@@ -42,8 +42,8 @@ def _get_csc(g: Graph) -> _HostCSC:
 def sample_neighbors(g: Graph, nodes: Sequence[int], fanout: int,
                      replace: bool = False,
                      prob: Optional[np.ndarray] = None,
-                     rng: Optional[np.random.Generator] = None
-                     ) -> Tuple[Graph, np.ndarray]:
+                     rng: Optional[np.random.Generator] = None,
+                     device: bool = True) -> Tuple[Graph, np.ndarray]:
     """Pick up to ``fanout`` in-edges per seed (fanout=-1: all).
 
     Returns (frontier, edge_ids): frontier keeps ORIGINAL node ids (same
@@ -69,7 +69,8 @@ def sample_neighbors(g: Graph, nodes: Sequence[int], fanout: int,
             eids = csc.eid[pos]
             frontier = _build(src_sel.astype(np.int32),
                               dst_sel.astype(np.int32), csc.num_src,
-                              csc.num_dst, is_block=False, build_csr=False)
+                              csc.num_dst, is_block=False, build_csr=False,
+                              device=device)
             return frontier, eids.astype(np.int32)
 
     if fanout < 0:          # take all in-edges
@@ -120,7 +121,7 @@ def sample_neighbors(g: Graph, nodes: Sequence[int], fanout: int,
     eids = csc.eid[pos]
     frontier = _build(src_sel.astype(np.int32), dst_sel.astype(np.int32),
                       csc.num_src, csc.num_dst, is_block=False,
-                      build_csr=False)
+                      build_csr=False, device=device)
     return frontier, eids.astype(np.int32)
 
 
@@ -143,10 +144,17 @@ class MultiLayerNeighborSampler:
     """
 
     def __init__(self, fanouts: Sequence[int], replace: bool = False,
-                 pad: bool = True, seed: Optional[int] = None):
+                 pad: bool = True, seed: Optional[int] = None,
+                 device: bool = False):
+        # device=False (default): blocks keep HOST (numpy) structure
+        # arrays — the prefetcher ships each sample in ONE batched
+        # device_put (or the jit boundary converts).  Eager per-array
+        # transfers through the axon tunnel measured ~350 ms/batch
+        # (round 5, the sampled pipeline's actual bottleneck).
         self.fanouts = list(fanouts)
         self.replace = replace
         self.pad = pad
+        self.device = device
         self.rng = np.random.default_rng(seed)
 
     def sample_blocks(self, g: Graph, seeds: Sequence[int]
@@ -158,7 +166,7 @@ class MultiLayerNeighborSampler:
         for fanout in reversed(self.fanouts):
             frontier, eids = sample_neighbors(g, cur, fanout,
                                               replace=self.replace,
-                                              rng=self.rng)
+                                              rng=self.rng, device=False)
             pad_src = pad_e = None
             if self.pad:
                 cap = len(cur) * (fanout if fanout > 0 else 0)
@@ -166,7 +174,8 @@ class MultiLayerNeighborSampler:
                 pad_src = _round_up_pow2(len(cur) + (cap or 0)) \
                     if fanout > 0 else None
             blk, src_ids, _ = to_block(frontier, cur, pad_num_src=pad_src,
-                                       pad_num_edges=pad_e)
+                                       pad_num_edges=pad_e,
+                                       device=self.device)
             blk.edata["_ID"] = np.pad(
                 eids, (0, blk.num_edges() - len(eids)))
             blocks.insert(0, blk)

@@ -63,10 +63,16 @@ def main():
                            sddmm=False, flat_width=ZW,
                            bucket_rows="auto", bucket_rows_rev=None)
 
+    # NB (advisor round 4): step() closes over the plan-carrying graph,
+    # so plan arrays serialize as constants into the remote compile
+    # request.  Safe at THIS scale (N=100k plans ~ 26 MB < the HTTP
+    # limit; this bench ran fine in round 4) — at larger E pass the
+    # plans through timed_loop args like the library benches do.
     def run(name, g, bwd_pack):
         os.environ["DGL_TPU_GAT_PACKED"] = "1"
         os.environ["DGL_TPU_GAT_BWD_PACK"] = "1" if bwd_pack else "0"
-        jax.clear_caches()      # env flags are read at trace time
+        jax.clear_caches()      # round-4 note; bwd impl is now a static
+        # jit arg resolved per trace (round 5), so this is belt+braces
 
         def step(c, f, l, r):
             def loss(f_, l_, r_):

@@ -18,12 +18,15 @@ tests/test_real_parsers.py over tests/fixtures/data):
       am/am.npz
       FB15k/{entities.dict,relations.dict,train.txt,valid.txt,test.txt}
 
-The example CLIs these configs drive carry the round-4 tuned kernel
+The example CLIs these configs drive carry the ROUND-5 tuned kernel
 defaults on TPU automatically: train_gat.py prepares mixed-direction
-fused-GAT plans (fwd bucketed / rev chunked), train_rgcn.py attaches
-the two-level (dst,etype)-pair plan, train_gcn.py prepares the hybrid
-dense-hub gspmm plan — so a parity run exercises exactly the shipped
-fast paths (KERNELS.md round 4).
+fused-GAT plans (fwd bucketed / rev chunked) and the IN-KERNEL fused
+backward is the default (gat_bwd='fused', train step 122 -> 67.8
+ns/edge; DGL_TPU_GAT_BWD_FUSED=0 restores round 4's compact path),
+train_rgcn.py attaches the two-level (dst,etype)-pair plan with the
+row-count-law rev bucketing (bucket_rows_rev='auto'), train_gcn.py
+prepares the hybrid dense-hub gspmm plan — so a parity run exercises
+exactly the shipped fast paths (KERNELS.md round 5).
 
 Usage:
     python tools/validate_real.py            # run whatever data is present
