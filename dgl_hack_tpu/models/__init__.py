@@ -3,5 +3,6 @@ from .gnn_models import GCN, GAT, GraphSAGE, RGCN, GIN, MLPPredictor  # noqa: F4
 from . import chem  # noqa: F401
 from .chem import (  # noqa: F401
     SchNet, MGCN, MPNN, AttentiveFP, GCNClassifier, GATClassifier, ACNN,
+    WeavePredictor, WLNPredictor,
 )
 from .dgmg import DGMG, build_action_trace  # noqa: F401

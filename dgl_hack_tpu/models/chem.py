@@ -573,3 +573,56 @@ class ACNN(nn.Module):
         c_prot = readout.sum_nodes(complex_g, atom_e_c,
                                    weight=1.0 - mask)
         return (c_lig + c_prot) - (lig + prot)
+
+
+class WeavePredictor(nn.Module):
+    """Weave property predictor: WeaveGNN node/edge dual updates +
+    WeightAndSum ++ max readout -> task MLP (reference:
+    apps/life_sci/python/dgllife/model/model_zoo/weave_predictor.py,
+    gnn half at .../gnn/weave.py:11; readout follows the house
+    classifier pattern above)."""
+    n_tasks: int
+    num_layers: int = 2
+    hidden_feats: int = 32
+    classifier_hidden_feats: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: Graph, node_feats: Array, edge_feats: Array,
+                 deterministic: bool = True) -> Array:
+        from ..nn.conv_extra import WeaveGNN
+        h = WeaveGNN(num_layers=self.num_layers,
+                     hidden_feats=self.hidden_feats)(
+            g, node_feats, edge_feats, node_only=True)
+        h_sum = WeightAndSum()(g, h)
+        h_max = readout.max_nodes(g, h)
+        h_g = jnp.concatenate([h_sum, h_max], axis=1)
+        return MLPBinaryClassifier(self.classifier_hidden_feats,
+                                   self.n_tasks, self.dropout)(
+            h_g, deterministic)
+
+
+class WLNPredictor(nn.Module):
+    """WLN property predictor: shared-parameter WLN encoder + the same
+    readout head (reference: the WLN reaction-center encoder,
+    apps/life_sci/python/dgllife/model/gnn/wln.py:75 — the reaction
+    model scores atom pairs; for property prediction the encoder feeds
+    the standard readout)."""
+    n_tasks: int
+    node_out_feats: int = 32
+    n_layers: int = 2
+    classifier_hidden_feats: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: Graph, node_feats: Array, edge_feats: Array,
+                 deterministic: bool = True) -> Array:
+        from ..nn.conv_extra import WLN
+        h = WLN(node_out_feats=self.node_out_feats,
+                n_layers=self.n_layers)(g, node_feats, edge_feats)
+        h_sum = WeightAndSum()(g, h)
+        h_max = readout.max_nodes(g, h)
+        h_g = jnp.concatenate([h_sum, h_max], axis=1)
+        return MLPBinaryClassifier(self.classifier_hidden_feats,
+                                   self.n_tasks, self.dropout)(
+            h_g, deterministic)

@@ -605,6 +605,10 @@ def _run_gat_bwd_fused(plan_arrays: Sequence[Array], meta, node_rev: Array,
     return zero draw/dw)."""
     emit = variant != "noemit"
     reorder = variant == "full"
+    slots_out = variant == "slots"   # return the flat slot buffer +
+    # appended zero row (the der-plan path reduces it directly)
+    if slots_out:
+        emit, reorder = True, False
     num_rows, tr, te, wc, C = meta[:5]
     flat = bool(meta[5]) if len(meta) > 5 else False
     gather_rows = int(meta[6]) if len(meta) > 6 else 0
@@ -612,8 +616,10 @@ def _run_gat_bwd_fused(plan_arrays: Sequence[Array], meta, node_rev: Array,
     zw = HD + H
     de = jnp.zeros((E, 2 * H), jnp.float32)
     if C == 0 or E == 0:
-        return (jnp.zeros((num_rows, zw), jnp.float32),
-                de[:, :H], de[:, H:])
+        dz0 = jnp.zeros((num_rows, zw), jnp.float32)
+        if slots_out:
+            return dz0, jnp.zeros((1, 2 * H), jnp.float32)
+        return dz0, de[:, :H], de[:, H:]
 
     def slot_w(perm):
         if w is None:
@@ -640,6 +646,9 @@ def _run_gat_bwd_fused(plan_arrays: Sequence[Array], meta, node_rev: Array,
                                   slope=slope, mode=mode, emit_edges=emit)
         rowmask = jnp.repeat(cover, tr, total_repeat_length=out_len)[:, None]
         dz = jnp.where(rowmask, out, 0.0)[:num_rows]
+        if slots_out:
+            return dz, jnp.concatenate(
+                [eout, jnp.zeros((1, 2 * H), jnp.float32)], axis=0)
         if reorder:
             de = edge_order(eout, perm)
         return dz, de[:, :H], de[:, H:]
@@ -668,13 +677,17 @@ def _run_gat_bwd_fused(plan_arrays: Sequence[Array], meta, node_rev: Array,
 
     if C == 1:
         acc, eout = body(init, tuple(a[0] for a in plan_arrays))
-        if reorder:
-            de = edge_order(eout, plan_arrays[1][0])
+        eflat = eout
+        perm_flat = plan_arrays[1][0]
     else:
         acc, eouts = jax.lax.scan(body, init, tuple(plan_arrays))
-        if reorder:
-            de = edge_order(eouts.reshape(-1, 2 * H),
-                            plan_arrays[1].reshape(-1))
+        eflat = eouts.reshape(-1, 2 * H) if emit else None
+        perm_flat = plan_arrays[1].reshape(-1)
+    if slots_out:
+        return acc[:num_rows], jnp.concatenate(
+            [eflat, jnp.zeros((1, 2 * H), jnp.float32)], axis=0)
+    if reorder:
+        de = edge_order(eflat, perm_flat)
     return acc[:num_rows], de[:, :H], de[:, H:]
 
 
@@ -684,7 +697,8 @@ def _run_gat_bwd_fused(plan_arrays: Sequence[Array], meta, node_rev: Array,
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
-               bwd_impl, z, er, w, src, dst, mask, rev_inv, *plan_arrays):
+               bwd_impl, z, er, w, src, dst, mask, rev_inv, der_gidx,
+               *plan_arrays):
     # mask: (E,) f32 edge mask (padded graphs; zero-size = no mask).  The
     # forward never reads it (mask-aware plans skip padded slots); the
     # backward zeroes padded-edge logit grads before the dense segment sum
@@ -695,17 +709,19 @@ def _gat_fused(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
 
 
 def _gat_fused_fwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
-                   bwd_impl, z, er, w, src, dst, mask, rev_inv,
+                   bwd_impl, z, er, w, src, dst, mask, rev_inv, der_gidx,
                    *plan_arrays):
     rst, den, m = _run_gat_fwd(plan_arrays[:N_PLAN_ARRAYS], meta_fwd, z, er,
                                w if has_w else None, src.shape[0], slope,
                                mode, softmax, packed)
-    return rst, (z, er, w, src, dst, mask, rev_inv, plan_arrays, rst, den, m)
+    return rst, (z, er, w, src, dst, mask, rev_inv, der_gidx, plan_arrays,
+                 rst, den, m)
 
 
 def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
                    bwd_impl, res, g):
-    z, er, w, src, dst, mask, rev_inv, plan_arrays, rst, den, m = res
+    (z, er, w, src, dst, mask, rev_inv, der_gidx, plan_arrays, rst, den,
+     m) = res
     E = src.shape[0]
     H = er.shape[1]
     HD = z.shape[1] - H
@@ -728,22 +744,44 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
                  z[:, HD:]], axis=1)
         node_rev = jnp.concatenate(
             [dout, er.astype(jnp.float32), m, den, sds], axis=1)
-        dz_f, draw_e, dw_e = _run_gat_bwd_fused(
-            plan_arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS], meta_rev,
-            node_rev, zt, w if has_w else None, E, slope, mode, H, D,
-            rev_inv=rev_inv if rev_inv.shape[0] else None)
-        if mask.shape[0]:
-            draw_e = draw_e * mask[:, None]
-        der = jax.ops.segment_sum(draw_e, dst, N_dst,
-                                  indices_are_sorted=True).astype(er.dtype)
-        dw = dw_e.astype(w.dtype) if has_w else jnp.zeros_like(w)
+        if not has_w and der_gidx.shape[0]:
+            # der-plan path: der reduces the rev pass's SLOT buffer
+            # directly through the fwd plan (gidx = rev_inv o fwd_perm,
+            # precomputed host-side) — no (E, 2H) edge-order
+            # materialisation, no dense segment-sum.  Padded edges of
+            # masked graphs are absent from BOTH plans by construction.
+            dz_f, eflat = _run_gat_bwd_fused(
+                plan_arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS], meta_rev,
+                node_rev, zt, None, E, slope, mode, H, D,
+                variant="slots")
+            fwd_arr = plan_arrays[:N_PLAN_ARRAYS]
+            der_arr = (der_gidx,) + tuple(fwd_arr[1:])
+            meta_der = tuple(meta_fwd[:5]) + (
+                bool(meta_fwd[5]) if len(meta_fwd) > 5 else False,
+                0, None)
+            der_full = _run_direction(der_arr, meta_der, eflat, None, 0,
+                                      mode)
+            der = der_full[:, :H].astype(er.dtype)
+            dw = jnp.zeros_like(w)
+        else:
+            dz_f, draw_e, dw_e = _run_gat_bwd_fused(
+                plan_arrays[N_PLAN_ARRAYS:2 * N_PLAN_ARRAYS], meta_rev,
+                node_rev, zt, w if has_w else None, E, slope, mode, H, D,
+                rev_inv=rev_inv if rev_inv.shape[0] else None)
+            if mask.shape[0]:
+                draw_e = draw_e * mask[:, None]
+            der = jax.ops.segment_sum(
+                draw_e, dst, N_dst,
+                indices_are_sorted=True).astype(er.dtype)
+            dw = dw_e.astype(w.dtype) if has_w else jnp.zeros_like(w)
         zeros = tuple(np.zeros(a_.shape, jax.dtypes.float0)
                       for a_ in plan_arrays)
         return (dz_f.astype(z.dtype), der, dw,
                 np.zeros(src.shape, jax.dtypes.float0),
                 np.zeros(dst.shape, jax.dtypes.float0),
                 np.zeros(mask.shape, jax.dtypes.float0),
-                np.zeros(rev_inv.shape, jax.dtypes.float0)) + zeros
+                np.zeros(rev_inv.shape, jax.dtypes.float0),
+                np.zeros(der_gidx.shape, jax.dtypes.float0)) + zeros
 
     # legacy paths (A/B): two fused edge gathers; cost scales with LANE
     # count (width law), so 'pack' bf16-packs the HD FEATURE lanes of
@@ -827,7 +865,8 @@ def _gat_fused_bwd(meta_fwd, meta_rev, slope, has_w, mode, softmax, packed,
             np.zeros(src.shape, jax.dtypes.float0),
             np.zeros(dst.shape, jax.dtypes.float0),
             np.zeros(mask.shape, jax.dtypes.float0),
-            np.zeros(rev_inv.shape, jax.dtypes.float0)) + zeros
+            np.zeros(rev_inv.shape, jax.dtypes.float0),
+            np.zeros(der_gidx.shape, jax.dtypes.float0)) + zeros
 
 
 _gat_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)
@@ -867,16 +906,22 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
         # flat-BUCKETED rev plans keep the m buffer bucket-major (ordm
         # walk) — not wired into the fused backward; use the round-4 path
         bwd_impl = "compact"
-    # the 17th plan array (edge -> rev slot, prepare_spmm round 5) turns
-    # the fused backward's edge-order reorder into a GATHER; without it
-    # the fused path would pay a ~20 ns/row XLA scatter — fall back
+    # the 17th/18th plan arrays (prepare_spmm round 5): edge -> rev slot
+    # (turns the fused backward's edge-order reorder into a GATHER; an
+    # XLA row scatter costs ~20 ns/row) and the fwd-plan der gather
+    # indices (der reduces the rev slot buffer directly).  Fall back to
+    # the round-4 compact path when absent.
     rev_inv = (plan_arrays[2 * N_PLAN_ARRAYS]
                if len(plan_arrays) > 2 * N_PLAN_ARRAYS else None)
+    der_gidx = (plan_arrays[2 * N_PLAN_ARRAYS + 1]
+                if len(plan_arrays) > 2 * N_PLAN_ARRAYS + 1 else None)
     plan_arrays = plan_arrays[:2 * N_PLAN_ARRAYS]
     if bwd_impl == "fused" and rev_inv is None:
         bwd_impl = "compact"
     if rev_inv is None:
         rev_inv = jnp.zeros((0,), jnp.int32)
+    if der_gidx is None:
+        der_gidx = jnp.zeros((0,), jnp.int32)
     z = jnp.concatenate(
         [fsrc.reshape(N_src, H * D).astype(jnp.float32),
          el.astype(jnp.float32)], axis=1)
@@ -888,5 +933,5 @@ def gat_attention_pallas(plan_meta, plan_arrays: Sequence[Array],
     rst = _gat_fused_jit(meta_fwd, meta_rev, float(negative_slope), has_w,
                          mode, softmax, packed, bwd_impl, z,
                          er.astype(jnp.float32),
-                         w, src, dst, mk, rev_inv, *plan_arrays)
+                         w, src, dst, mk, rev_inv, der_gidx, *plan_arrays)
     return rst.astype(fsrc.dtype).reshape(-1, H, D)

@@ -150,11 +150,19 @@ class PlanInfo(NamedTuple):
                  bring per-SLOT kernel outputs into edge order with one
                  GATHER — an XLA row scatter costs ~20 ns/row on TPU
                  (measured round 5), the gather ~4.7.
+    der_gidx:    an 18th plan array (fwd-plan slot -> flat rev-plan
+                 slot = rev_inv composed through the fwd perm): the GAT
+                 backward's der segment-sum becomes a plan reduce
+                 DIRECTLY over the rev pass's slot buffer — no edge-
+                 order materialisation at all when attention weights
+                 are absent (pad slots carry spread indices; their
+                 values never enter the one-hot reduce).
     """
     masked: bool = False
     flat_width: int = 128
     bucket_rows: int = 0
     rev_inv: bool = False
+    der_gidx: bool = False
 
 
 def plan_info(plan_meta) -> PlanInfo:
@@ -176,6 +184,24 @@ def rev_inv_array(rev_perm: np.ndarray, e_full: int) -> np.ndarray:
     valid = pf < e_full
     inv[pf[valid]] = np.nonzero(valid)[0].astype(np.int32)
     return inv
+
+
+def der_gidx_array(fwd_perm: np.ndarray, rev_inv: np.ndarray,
+                   e_full: int, slots_total: int) -> np.ndarray:
+    """fwd-plan gather indices into the REV pass's flat slot buffer
+    (``slots_total`` slots + one appended zero row): der_gidx =
+    rev_inv o fwd_perm, same shape as ``fwd_perm``.  Real edges point
+    at their rev slot; pad slots get SPREAD indices (their gathered
+    values never enter the reduce — lr sentinel — and same-address pad
+    gathers would serialize the engine, KERNELS.md)."""
+    p = np.asarray(fwd_perm)
+    flat = p.reshape(-1).astype(np.int64)
+    ok = flat < e_full
+    spread = (np.arange(flat.size, dtype=np.int64)
+              * np.int64(2654435761)) % max(slots_total + 1, 1)
+    out = np.where(ok, rev_inv[np.minimum(flat, max(e_full - 1, 0))],
+                   spread)
+    return out.reshape(p.shape).astype(np.int32)
 
 
 def flat_plans_fit(plan_meta, plan_arrays, width_words: int) -> bool:
@@ -1582,7 +1608,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
         wc = max(1, -(-g.num_dst_nodes // tr))   # unbounded window span
     fms = max(te, FLAT_MAX_BYTES // (max(flat_width, 1) * 4))
     info = PlanInfo(masked=False, flat_width=flat_width,
-                    bucket_rows=bucket_rows or 0, rev_inv=True)
+                    bucket_rows=bucket_rows or 0, rev_inv=True,
+                    der_gidx=True)
     E_full = int(g.host("src").shape[0])
     out = g
     if weighted:
@@ -1592,8 +1619,11 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
             tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms,
             bucket_rows=bucket_rows, bucket_rows_rev=bucket_rows_rev)
+        ri = rev_inv_array(plan.rev.perm, E_full)
+        dg = der_gidx_array(plan.fwd.perm, ri, E_full,
+                            int(plan.rev.perm.size))
         arrays = (plan.fwd.device_arrays() + plan.rev.device_arrays()
-                  + (jnp.asarray(rev_inv_array(plan.rev.perm, E_full)),))
+                  + (jnp.asarray(ri), jnp.asarray(dg)))
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta + (info,))
     if dense_hub and g.edge_mask is None:
@@ -1623,8 +1653,11 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
             g.host("dst"), g.num_src_nodes, g.num_dst_nodes,
             tr=tr, te=te, bc=bc, wc=wc, flat=flat, flat_max_slots=fms,
             bucket_rows=bucket_rows, bucket_rows_rev=bucket_rows_rev)
+        ri = rev_inv_array(plan.rev.perm, E_full)
+        dg = der_gidx_array(plan.fwd.perm, ri, E_full,
+                            int(plan.rev.perm.size))
         arrays = (plan.fwd.device_arrays() + plan.rev.device_arrays()
-                  + (jnp.asarray(rev_inv_array(plan.rev.perm, E_full)),))
+                  + (jnp.asarray(ri), jnp.asarray(dg)))
         out = out.replace(spmm_plan_arrays=arrays,
                           spmm_plan_meta=plan.static_meta + (info,))
     if sddmm and g.edge_mask is None \
@@ -1673,8 +1706,11 @@ def _prepare_spmm_masked(g, tr: int, te: int, bc: Optional[int],
     info = PlanInfo(masked=True, flat_width=flat_width,
                     bucket_rows=(plan.fwd.gather_rows
                                  or plan.rev.gather_rows or 0),
-                    rev_inv=True)
+                    rev_inv=True, der_gidx=True)
+    ri = rev_inv_array(plan.rev.perm, e_full)
+    dg = der_gidx_array(plan.fwd.perm, ri, e_full,
+                        int(plan.rev.perm.size))
     arrays = (plan.fwd.device_arrays() + plan.rev.device_arrays()
-              + (jnp.asarray(rev_inv_array(plan.rev.perm, e_full)),))
+              + (jnp.asarray(ri), jnp.asarray(dg)))
     return g.replace(spmm_plan_arrays=arrays,
                      spmm_plan_meta=plan.static_meta + (info,))

@@ -539,12 +539,16 @@ def _build_layout_plans(src2d: np.ndarray, dst2d: np.ndarray,
         devs = [p.device_arrays() for p in group]
         for i in range(len(devs[0])):
             stacked.append(np.stack([np.asarray(d[i]) for d in devs]))
-    # 17th array: per-part edge -> rev-slot map (fused GAT backward's
-    # gather-based edge reorder; pad slots carry sentinel perm = e_full,
-    # so absent edges point one past the slot count -> exact zeros)
-    from ..ops.pallas.spmm_kernel import rev_inv_array
+    # 17th/18th arrays: per-part edge -> rev-slot map (fused GAT
+    # backward's gather-based edge reorder) and the fwd-plan der gather
+    # indices (der reduces the rev slot buffer directly); pad slots
+    # carry sentinel perm = e_full -> the appended zero row
+    from ..ops.pallas.spmm_kernel import der_gidx_array, rev_inv_array
+    ris = [rev_inv_array(p.perm, e_full) for p in revs]
+    stacked.append(np.stack(ris))
     stacked.append(np.stack(
-        [rev_inv_array(p.perm, e_full) for p in revs]))
+        [der_gidx_array(f.perm, ri, e_full, int(r.perm.size))
+         for f, r, ri in zip(fwds, revs, ris)]))
     return meta, tuple(stacked)
 
 
@@ -692,7 +696,9 @@ def local_graph(plan: SpatialPlan, dev1: Dict[str, Array]) -> Graph:
               csc_indptr=dev1["csc_indptr"],
               edge_mask=dev1["edge_mask"], is_block=True)
     if plan.spmm_meta_graph is not None and "spg_0" in dev1:
-        n_arr = 17 if "spg_16" in dev1 else 16
+        n_arr = 16
+        while f"spg_{n_arr}" in dev1:
+            n_arr += 1
         g = g.replace(
             spmm_plan_arrays=tuple(dev1[f"spg_{i}"] for i in range(n_arr)),
             spmm_plan_meta=plan.spmm_meta_graph)

@@ -21,7 +21,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="gcn",
                    choices=["gcn", "gat", "attentivefp", "schnet", "mgcn",
-                            "mpnn"])
+                            "mpnn", "weave", "wln"])
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--n_mols", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=32)
@@ -63,6 +63,11 @@ def main():
                                   edge_hidden_dim=32,
                                   num_step_message_passing=3,
                                   num_step_set2set=3),
+        "weave": lambda: chem.WeavePredictor(n_tasks=n_tasks,
+                                             num_layers=2,
+                                             hidden_feats=32),
+        "wln": lambda: chem.WLNPredictor(n_tasks=n_tasks,
+                                         node_out_feats=32, n_layers=2),
     }
     model = models[args.model]()
 
@@ -70,6 +75,10 @@ def main():
         if args.model in ("schnet", "mgcn"):
             return (bg, bg.ndata["atomic_number"],
                     bg.edata_internal["distance"])
+        if args.model in ("weave", "wln"):
+            # USER-order edge feats: the dgllife-parity layers convert
+            # to internal order themselves (reference signature)
+            return (bg, bg.ndata["h"], bg.edata["e"])
         if args.model in ("attentivefp", "mpnn"):
             return (bg, bg.ndata["h"], bg.edata_internal["e"])
         return (bg, bg.ndata["h"])

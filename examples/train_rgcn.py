@@ -10,6 +10,9 @@ sys.path.insert(0, ".")
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="aifb-synth")
+    p.add_argument("--scale", type=float, default=0.1,
+                   help="synthetic stand-in size fraction (AM at full "
+                        "stats is 1.67M nodes)")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--hidden", type=int, default=16)
     p.add_argument("--num-bases", type=int, default=-1)
@@ -24,7 +27,7 @@ def main():
     from dgl_hack_tpu.models.training import train_node_classifier
 
     import jax
-    ds = load_rdf_dataset(args.dataset)
+    ds = load_rdf_dataset(args.dataset, scale=args.scale)
     # two-level (dst,etype)-pair fast path (ops/rgcn.py): tuned default
     # for every RelGraphConv layer (KERNELS.md round-4 RGCN bench:
     # fwd+bwd 246 -> 19.3 ns/edge at AIFB shapes).  Off-TPU the Pallas

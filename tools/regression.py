@@ -32,6 +32,10 @@ MATRIX = [
     ("train_appnp.py", ["--dataset", "synth", "--epochs", "40"]),
     ("train_sage_sampling.py", ["--num-epochs", "3"]),
     ("train_rgcn.py", ["--epochs", "30"]),
+    # AM-like row (VERDICT r4 #5): ~90 relations, larger + sparser
+    # label set than AIFB — exercises the pair plan at a second shape
+    ("train_rgcn.py", ["--dataset", "am", "--epochs", "12",
+                       "--scale", "0.01"]),
     ("train_tagcn.py", ["--dataset", "synth", "--epochs", "60"]),
     ("train_ggnn.py", ["--epochs", "20", "--graphs", "40",
                        "--nodes", "20"]),
@@ -44,6 +48,8 @@ MATRIX = [
                           "--chunk", "32", "--eval_triples", "100"]),
     ("train_chem.py", ["--model", "gcn", "--epochs", "15"]),
     ("train_chem.py", ["--model", "schnet", "--epochs", "10"]),
+    ("train_chem.py", ["--model", "weave", "--epochs", "12"]),
+    ("train_chem.py", ["--model", "wln", "--epochs", "12"]),
     ("train_han.py", ["--epochs", "30", "--papers", "200"]),
     ("train_cluster_gcn.py", ["--epochs", "10", "--parts", "4"]),
     ("train_dgi.py", ["--epochs", "30"]),
