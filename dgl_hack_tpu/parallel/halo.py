@@ -494,7 +494,9 @@ def _pad_segment_plans(plans, e_full: int):
 def _build_layout_plans(src2d: np.ndarray, dst2d: np.ndarray,
                         mask2d: np.ndarray, num_src: int, num_dst: int,
                         tr: int, te: int, flat_width: int,
-                        bucket_rows) -> Tuple[Tuple, Tuple[Array, ...]]:
+                        bucket_rows,
+                        bucket_rows_rev="same"
+                        ) -> Tuple[Tuple, Tuple[Array, ...]]:
     """Per-part mask-aware GspmmPlans for one stacked edge layout,
     padded uniform and stacked (P, ...).  Returns (static meta incl.
     PlanInfo, 16 stacked device arrays: fwd 8 + rev 8)."""
@@ -518,7 +520,8 @@ def _build_layout_plans(src2d: np.ndarray, dst2d: np.ndarray,
                 dst2d[p][sel].astype(np.int64),
                 num_src, num_dst, eids=eids, e_full=e_full, tr=tr, te=te,
                 bc=bc, wc=max(1, -(-num_dst // tr)), flat=fl,
-                flat_max_slots=fms, bucket_rows=bk))
+                flat_max_slots=fms, bucket_rows=bk,
+                bucket_rows_rev=bucket_rows_rev))
         return ps
 
     plans = build(bucket_rows, flat)
@@ -554,6 +557,7 @@ def _build_layout_plans(src2d: np.ndarray, dst2d: np.ndarray,
 
 def attach_spmm_plans(plan: SpatialPlan, tr: int = 128, te: int = 64,
                       flat_width: int = 128, bucket_rows="auto",
+                      bucket_rows_rev=None, bucket_rows_graph=None,
                       which: Tuple[str, ...] = ("local", "remote",
                                                 "graph")) -> SpatialPlan:
     """Attach per-partition Pallas gspmm plans to a SpatialPlan.
@@ -566,7 +570,12 @@ def attach_spmm_plans(plan: SpatialPlan, tr: int = 128, te: int = 64,
 
     This is the multi-chip continuation of the reference's design where
     the distributed pull path serves every model with the same kernels as
-    single-GPU (reference: python/dgl/contrib/dis_kvstore.py:670)."""
+    single-GPU (reference: python/dgl/contrib/dis_kvstore.py:670).
+
+    ``bucket_rows_rev=None`` (default) keeps the REVERSE plans
+    unbucketed: src-bucketed rev plans lose ~2x in the coupled GAT VJP
+    (KERNELS.md round 4) and the round-5 fused backward reads the rev
+    plan directly — mirror ``bucket_rows`` only for fwd-heavy serving."""
     import dataclasses
     # with the distributed dense-hub active, the copy_u fast path runs
     # over the REDUCED exchange — attach the split plans there
@@ -575,21 +584,29 @@ def attach_spmm_plans(plan: SpatialPlan, tr: int = 128, te: int = 64,
     if "local" in which:
         meta, arrs = _build_layout_plans(
             tgt.lsrc, tgt.ldst, tgt.lmask, tgt.n_owned_max,
-            tgt.n_owned_max, tr, te, flat_width, bucket_rows)
+            tgt.n_owned_max, tr, te, flat_width, bucket_rows,
+            bucket_rows_rev)
         kw["spmm_meta_local"] = meta
         kw["spmm_local"] = arrs
     if "remote" in which:
         n_halo = tgt.halo_max + tgt.num_parts * tgt.hk_max
         meta, arrs = _build_layout_plans(
             tgt.rsrc, tgt.rdst, tgt.rmask, max(n_halo, 1),
-            tgt.n_owned_max, tr, te, flat_width, bucket_rows)
+            tgt.n_owned_max, tr, te, flat_width, bucket_rows,
+            bucket_rows_rev)
         kw["spmm_meta_remote"] = meta
         kw["spmm_remote"] = arrs
     gkw = {}
     if "graph" in which:
+        # graph plans serve the WIDE-z fused ops (GAT): bucketing the
+        # [own || halo] ext table fragments blocks at (bucket x window)
+        # cells — measured 3x WORSE at N=1M/P=8 (fwd 61 -> 21, train
+        # 195 -> 66 ns/edge unbucketed+flat, round 5) — so they default
+        # to UNBUCKETED flat plans; local/remote (copy_u) keep ``auto``
         meta, arrs = _build_layout_plans(
             plan.src_ext, plan.dst_loc, plan.edge_mask, plan.num_src_ext,
-            plan.n_owned_max, tr, te, flat_width, bucket_rows)
+            plan.n_owned_max, tr, te, flat_width, bucket_rows_graph,
+            bucket_rows_rev)
         gkw["spmm_meta_graph"] = meta
         gkw["spmm_graph"] = arrs
     if plan.reduced is not None:
