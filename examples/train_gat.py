@@ -40,8 +40,11 @@ def main():
         # backward (default): measured fwd+bwd 386 (composed) -> 67.8
         # ns/edge (KERNELS.md round-5 bench_gat_vjp).
         zw = args.num_hidden * args.num_heads + 2 * args.num_heads
+        # flat="auto": the flat single-kernel plan wins wherever its
+        # message buffer fits (round-5 sweep: 54.3 vs 83.1 ns/edge
+        # fwd+bwd at z=272); it falls back to chunked at wide z / large E
         g = dgl.prepare_spmm(g, te=256, flat_width=zw, sddmm=False,
-                             flat=False, bucket_rows="auto",
+                             flat="auto", bucket_rows="auto",
                              bucket_rows_rev=None)
     model = GAT(hidden_feats=args.num_hidden, out_feats=ds.num_classes,
                 heads=(args.num_heads, args.num_out_heads),
