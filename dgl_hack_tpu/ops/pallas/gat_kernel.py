@@ -29,11 +29,23 @@ This kernel does the whole edge phase in ONE gather per edge:
   per-slot operand applied to the numerator only — dropout after
   softmax, matching GATConv semantics.
 
-Backward (custom VJP) recomputes a_e = exp(logit - m[dst]) / l[dst] from
-two fused edge gathers (z[src] and [dout||er||m||l||<rst,dout>][dst]),
-then reuses the generic plan reducer for d(Wh) and d(el) in one reverse
-pass — ~4 E-row operations total where the unfused autodiff graph pays
-~10.
+Backward (custom VJP), round-5 IN-KERNEL design (`_gat_bwd_kernel`):
+one reverse-plan pass computes the whole backward edge phase.  The rev
+plan's windows are src-major, so the z rows the daw dot needs are
+exactly the output-window rows — z rides in as a window-indexed
+BlockSpec input (contiguous rows, NO per-edge gather) and expands to
+slots with the same one-hot matmul; the slot gather carries
+node_rev = [dout||er||m||den||sds]; a/daw/dlogit/draw recompute per
+slot in VMEM; dz accumulates as S @ [dout*expand(aw) || draw]; compact
+per-slot [draw||dw] goes out a second kernel output.  der then reduces
+that slot buffer DIRECTLY through the forward plan (der_gidx =
+rev_inv o fwd_perm, both composed host-side — an XLA row scatter costs
+~20 ns/row, the reason these index compositions exist).  Train step
+composed 386 -> 66.3 ns/edge (KERNELS.md round 5); legacy backwards
+(compact head-weight / wide / packed-gathers) remain as static-arg A/B
+paths.  This is the TPU answer to the fork's fully-fused
+fusedGatBackwardGrad* family (src/kernel/cuda/binary_reduce_impl.cu:
+124-309) — no materialised per-edge intermediates remain.
 """
 from __future__ import annotations
 
