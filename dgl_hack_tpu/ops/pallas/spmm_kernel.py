@@ -1593,7 +1593,8 @@ def prepare_spmm(g, tr: int = DEFAULT_TR, te: int = DEFAULT_TE,
         # (microbench_bucket.py: 2.07 ns/row at 64 MB, 4.67 at 128 MB);
         # bucket when the table is comfortably past the boundary AND the
         # (bucket x window) cell density keeps block padding sane
-        B = max(8, ((64 << 20) // (max(flat_width, 1) * 4)) // 8 * 8)
+        B = max(8, min((64 << 20) // (max(flat_width, 1) * 4),
+                       196_608) // 8 * 8)  # row-count law cap
         n_tab = max(g.num_src_nodes, g.num_dst_nodes)
         # per-plan profitability (cell fragmentation) is checked inside
         # _build_bucketed_plan; here only gate on table size
@@ -1690,7 +1691,8 @@ def _prepare_spmm_masked(g, tr: int, te: int, bc: Optional[int],
     src_r = src[eids].astype(np.int64)
     dst_r = dst[eids].astype(np.int64)
     if bucket_rows == "auto":
-        B = max(8, ((64 << 20) // (max(flat_width, 1) * 4)) // 8 * 8)
+        B = max(8, min((64 << 20) // (max(flat_width, 1) * 4),
+                       196_608) // 8 * 8)  # row-count law cap
         n_tab = max(g.num_src_nodes, g.num_dst_nodes)
         bucket_rows = B if n_tab > 2 * B else None
     if bc is None:

@@ -107,7 +107,8 @@ def prepare_rgcn(g, etypes, num_rels: int, prepare: bool = True,
         flat = kw.pop("flat", "auto")
         flat_width = kw.pop("flat_width", 128)
         if bucket_rows == "auto":
-            B = max(8, ((64 << 20) // (max(flat_width, 1) * 4)) // 8 * 8)
+            B = max(8, min((64 << 20) // (max(flat_width, 1) * 4),
+                       196_608) // 8 * 8)  # row-count law cap
             bucket_rows = B if g.num_src_nodes > 2 * B else None
         # width-aware chunk/budget sizing, same as prepare_spmm (the
         # default bc=512 would scan hundreds of chunks at 16M edges)

@@ -504,7 +504,8 @@ def _build_layout_plans(src2d: np.ndarray, dst2d: np.ndarray,
         FLAT_MAX_BYTES, GspmmPlan, PlanInfo, build_gspmm_plan_edges)
     P_, e_full = src2d.shape
     if bucket_rows == "auto":
-        B = max(8, ((64 << 20) // (max(flat_width, 1) * 4)) // 8 * 8)
+        B = max(8, min((64 << 20) // (max(flat_width, 1) * 4),
+                       196_608) // 8 * 8)  # row-count law cap
         bucket_rows = B if num_src > B else None
     flat = bucket_rows is None       # chunked-bucketed when bucketing
     fms = max(te, FLAT_MAX_BYTES // (max(flat_width, 1) * 4))
