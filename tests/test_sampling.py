@@ -389,3 +389,41 @@ def test_native_sampler_deterministic_per_row():
         np.testing.assert_array_equal(a[1], b[1])
         c = rowwise_sample_native(csc, s_int, seeds, 4, replace, seed=98)
         assert not np.array_equal(a[0], c[0])  # seed actually matters
+
+
+def test_pooled_prefetcher(g, rng):
+    """PooledPrefetcher merges N workers' loader shards into one stream:
+    every seed's batch arrives exactly once, items are fully formed
+    (blocks usable in a model forward), and worker errors propagate."""
+    from dgl_hack_tpu.distributed.prefetch import PooledPrefetcher
+
+    nids = np.arange(50)
+    shards = np.array_split(nids, 3)
+
+    def make_loader(i):
+        return NodeDataLoader(
+            g, shards[i],
+            MultiLayerNeighborSampler([4], replace=True, seed=100 + i),
+            batch_size=8, drop_last=False, seed=i)
+
+    seen = []
+    for input_nodes, seeds, blocks in PooledPrefetcher(
+            make_loader, num_workers=3, capacity=2):
+        assert blocks[0].num_dst_nodes == len(seeds)
+        seen.append(np.asarray(seeds))
+    # every shard's loader pads its final partial batch with repeats —
+    # the UNION of seeds must cover all nids
+    got = np.unique(np.concatenate(seen))
+    assert np.array_equal(got, nids)
+
+    def bad_loader(i):
+        def gen():
+            yield from make_loader(i)
+            if i == 1:
+                raise RuntimeError("worker boom")
+        return gen()
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="worker boom"):
+        for _ in PooledPrefetcher(bad_loader, num_workers=3):
+            pass
