@@ -56,6 +56,13 @@ def main():
                     help="how many partitions to measure (sequentially)")
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--graph", default="powerlaw",
+                    choices=["powerlaw", "clustered"],
+                    help="clustered = planted_partition(100k): low-cut "
+                         "regime where partition quality shrinks the "
+                         "ext table below the row-count gather cliff")
+    ap.add_argument("--method", default="fennel",
+                    help="partition method (e.g. multilevel)")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -65,13 +72,22 @@ def main():
     from dgl_hack_tpu.parallel import attach_spmm_plans, build_spatial_plan
     from dgl_hack_tpu.parallel.halo import local_graph
 
-    N, P = 1_000_000, 8
+    P = 8
     H, D = args.heads, args.dim
     ZW = H * D + 2 * H
-    g0 = random_power_law_graph(N, avg_degree=16.0, alpha=2.1, seed=0)
+    if args.graph == "clustered":
+        from dgl_hack_tpu.data import planted_partition
+        ds = planted_partition(100_000, 8, 8, avg_degree=12.0,
+                               homophily=0.9, seed=0, train_per_class=8)
+        g0 = ds.graph
+        N = g0.num_nodes()
+    else:
+        N = 1_000_000
+        g0 = random_power_law_graph(N, avg_degree=16.0, alpha=2.1, seed=0)
     E = g0.num_edges()
     t0 = time.perf_counter()
-    plan = build_spatial_plan(g0, P, method="fennel", seed=0, hub_k=64)
+    plan = build_spatial_plan(g0, P, method=args.method, seed=0,
+                              hub_k=64 if args.graph == "powerlaw" else 0)
     plan = attach_spmm_plans(plan, te=256, flat_width=ZW,
                              which=("graph",))
     st = plan.stats()
@@ -82,6 +98,7 @@ def main():
         "cut_fraction": round(st["cut_fraction"], 4),
         "halo_mb_per_part_bf16": round(
             st["halo_rows_padded"] / P * H * D * 2 / 2**20, 1),
+        "num_src_ext": plan.num_src_ext,
     }), flush=True)
     dev = plan.device_arrays()
     key = jax.random.PRNGKey(0)
