@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--rels", type=int, default=45)
     ap.add_argument("--bases", type=int, default=8)
     ap.add_argument("--feats", type=int, default=64)
+    ap.add_argument("--graph", default="powerlaw",
+                    choices=["powerlaw", "clustered"])
+    ap.add_argument("--method", default="fennel")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -60,9 +63,17 @@ def main():
     from dgl_hack_tpu.parallel import build_spatial_plan
     from dgl_hack_tpu.parallel.halo import local_graph, shard_edata
 
-    N, P = 1_000_000, 8
+    P = 8
     R, B, F = args.rels, args.bases, args.feats
-    g0 = random_power_law_graph(N, avg_degree=16.0, alpha=2.1, seed=0)
+    if args.graph == "clustered":
+        from dgl_hack_tpu.data import planted_partition
+        dsx = planted_partition(100_000, 8, 8, avg_degree=12.0,
+                                homophily=0.9, seed=0, train_per_class=8)
+        g0 = dsx.graph
+        N = g0.num_nodes()
+    else:
+        N = 1_000_000
+        g0 = random_power_law_graph(N, avg_degree=16.0, alpha=2.1, seed=0)
     E = g0.num_edges()
     rng = np.random.default_rng(0)
     dst_user = np.asarray(g0.host_edges()[1], np.int64)
@@ -70,7 +81,8 @@ def main():
     et = ((base + rng.integers(0, 4, E)) % R).astype(np.int32)
 
     t0 = time.perf_counter()
-    plan = build_spatial_plan(g0, P, method="fennel", seed=0, hub_k=64)
+    plan = build_spatial_plan(g0, P, method=args.method, seed=0,
+                              hub_k=64 if args.graph == "powerlaw" else 0)
     ets = shard_edata(plan, et, layout="graph")
     dev = plan.device_arrays()
     print(json.dumps({"build_s": round(time.perf_counter() - t0, 1),
